@@ -1,0 +1,101 @@
+"""RoIAlign as XLA gathers (TPU-native; no custom CUDA).
+
+Parity target: mmcv.ops.RoIAlign with `aligned=True` as configured by the
+reference (e.g. TOV_mmdetection/configs2/TinyPerson/base/
+faster_rcnn_r50_fpn_1x_TinyPerson640.py:45, roi_layer=dict(type='RoIAlign',
+output_size=7, sampling_ratio=0)).
+
+Deviation (documented): mmcv's `sampling_ratio=0` means an *adaptive* number
+of samples per bin (ceil(roi_size/out_size)); that is data-dependent and
+XLA-hostile, so we use a static `sampling_ratio` (default 2, the de-facto
+value for typical RoI sizes). Numerics differ at most by sub-bin sampling
+density; models are retrained in this framework so exact kernel parity is
+not required (SURVEY.md §7.3 item 4).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["roi_align"]
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned"))
+def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
+              output_size: int = 7, sampling_ratio: int = 2,
+              aligned: bool = True) -> jnp.ndarray:
+    """RoIAlign.
+
+    Args:
+        feat: (B, H, W, C) feature map (NHWC).
+        rois: (R, 5) — (batch_idx, x1, y1, x2, y2) in input-image coords.
+        spatial_scale: feature stride reciprocal (e.g. 1/4 for P2).
+        output_size: output bin grid (out x out).
+        sampling_ratio: static samples per bin side.
+        aligned: half-pixel alignment (mmcv aligned=True).
+    Returns:
+        (R, output_size, output_size, C)
+    """
+    b, h, w, c = feat.shape
+    r = rois.shape[0]
+    out = output_size
+    sr = sampling_ratio
+
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 1] * spatial_scale - offset
+    y1 = rois[:, 2] * spatial_scale - offset
+    x2 = rois[:, 3] * spatial_scale - offset
+    y2 = rois[:, 4] * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:  # legacy: force min size 1
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    bin_w = roi_w / out  # (R,)
+    bin_h = roi_h / out
+
+    # Sample-point grid per ROI: (out*sr) points per side.
+    # point j (0-based) inside bin i: x1 + (i + (j+0.5)/sr) * bin_w
+    side = jnp.arange(out * sr, dtype=feat.dtype)
+    frac = (side // sr) + ((side % sr) + 0.5) / sr  # (out*sr,)
+    sx = x1[:, None] + frac[None, :] * bin_w[:, None]  # (R, out*sr)
+    sy = y1[:, None] + frac[None, :] * bin_h[:, None]
+
+    # Bilinear sampling with mmcv border semantics: a sample is zero when its
+    # coord is outside [-1, dim]; indices are clamped into range otherwise.
+    def sample_one(bi, xs, ys):
+        img = feat[bi]  # (H, W, C) — XLA dynamic-slice over batch
+        xg = jnp.broadcast_to(xs[None, :], (out * sr, out * sr))
+        yg = jnp.broadcast_to(ys[:, None], (out * sr, out * sr))
+        inb = (xg >= -1.0) & (xg <= w) & (yg >= -1.0) & (yg <= h)
+        xc = jnp.clip(xg, 0.0, w - 1.0)
+        yc = jnp.clip(yg, 0.0, h - 1.0)
+        x0 = jnp.floor(xc)
+        y0 = jnp.floor(yc)
+        x1i = jnp.minimum(x0 + 1, w - 1).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, h - 1).astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        wx1 = xc - x0
+        wy1 = yc - y0
+        wx0 = 1.0 - wx1
+        wy0 = 1.0 - wy1
+        flat = img.reshape(h * w, c)
+
+        def g(yi, xi):
+            return flat[(yi * w + xi).reshape(-1)].reshape(out * sr, out * sr, c)
+
+        val = (g(y0i, x0i) * (wy0 * wx0)[..., None]
+               + g(y0i, x1i) * (wy0 * wx1)[..., None]
+               + g(y1i, x0i) * (wy1 * wx0)[..., None]
+               + g(y1i, x1i) * (wy1 * wx1)[..., None])
+        val = jnp.where(inb[..., None], val, 0.0)
+        # Average sr x sr samples per bin.
+        val = val.reshape(out, sr, out, sr, c)
+        return val.mean(axis=(1, 3))  # (out, out, C)
+
+    return jax.vmap(sample_one)(batch_idx, sx, sy)

@@ -1,0 +1,167 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pointtinybenchmark_tpu.ops import (batched_nms, bbox_overlaps,
+                                        bbox_overlaps_aligned, grid_sample,
+                                        nms, nms_mask, point_sample_pixel,
+                                        roi_align)
+
+
+# ---------------------------------------------------------------- IoU
+def _np_iou(b1, b2):
+    m, n = len(b1), len(b2)
+    out = np.zeros((m, n))
+    for i in range(m):
+        for j in range(n):
+            xx1 = max(b1[i, 0], b2[j, 0]); yy1 = max(b1[i, 1], b2[j, 1])
+            xx2 = min(b1[i, 2], b2[j, 2]); yy2 = min(b1[i, 3], b2[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a1 = (b1[i, 2] - b1[i, 0]) * (b1[i, 3] - b1[i, 1])
+            a2 = (b2[j, 2] - b2[j, 0]) * (b2[j, 3] - b2[j, 1])
+            out[i, j] = inter / max(a1 + a2 - inter, 1e-6)
+    return out
+
+
+def test_bbox_overlaps_matches_numpy():
+    rng = np.random.RandomState(0)
+    b1 = rng.rand(13, 4) * 100
+    b1[:, 2:] += b1[:, :2] + 1
+    b2 = rng.rand(7, 4) * 100
+    b2[:, 2:] += b2[:, :2] + 1
+    got = np.asarray(bbox_overlaps(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(got, _np_iou(b1, b2), rtol=1e-5, atol=1e-6)
+
+
+def test_bbox_overlaps_iof_and_aligned():
+    b1 = jnp.asarray([[0., 0., 10., 10.]])
+    b2 = jnp.asarray([[0., 0., 5., 10.]])
+    iof = bbox_overlaps(b1, b2, mode="iof")
+    np.testing.assert_allclose(np.asarray(iof), [[0.5]], atol=1e-6)
+    al = bbox_overlaps_aligned(b1, b2)
+    np.testing.assert_allclose(np.asarray(al), [0.5], atol=1e-6)
+
+
+def test_giou_range():
+    b1 = jnp.asarray([[0., 0., 10., 10.]])
+    b2 = jnp.asarray([[20., 20., 30., 30.]])
+    g = np.asarray(bbox_overlaps(b1, b2, mode="giou"))
+    assert g[0, 0] < 0  # disjoint boxes have negative GIoU
+
+
+# ---------------------------------------------------------------- NMS
+def _np_greedy_nms(boxes, scores, thr):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        ious = _np_iou(boxes[i:i + 1], boxes)[0]
+        suppressed |= ious > thr
+        suppressed[i] = True
+    return keep
+
+
+def test_nms_matches_greedy_reference():
+    rng = np.random.RandomState(1)
+    n = 60
+    boxes = rng.rand(n, 4) * 50
+    boxes[:, 2:] = boxes[:, :2] + 5 + rng.rand(n, 2) * 20
+    scores = rng.rand(n).astype(np.float32)
+    ref = _np_greedy_nms(boxes, scores, 0.5)
+    keep_idx, num = nms(jnp.asarray(boxes, jnp.float32), jnp.asarray(scores), 0.5, max_out=n)
+    got = [int(i) for i in np.asarray(keep_idx) if i >= 0]
+    assert int(num) == len(ref)
+    assert got == ref
+
+
+def test_nms_respects_valid_mask_and_max_out():
+    boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    valid = jnp.asarray([True, True, False])
+    keep, num = nms(boxes, scores, 0.5, max_out=3, valid_mask=valid)
+    assert int(num) == 1 and int(keep[0]) == 0
+    keep, num = nms(boxes, scores, 0.5, max_out=1)
+    assert int(num) == 1 and int(keep[0]) == 0
+
+
+def test_batched_nms_classes_dont_interact():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 10, 10]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    same = jnp.asarray([0, 0])
+    diff = jnp.asarray([0, 1])
+    _, n_same = batched_nms(boxes, scores, same, 0.5, max_out=2)
+    _, n_diff = batched_nms(boxes, scores, diff, 0.5, max_out=2)
+    assert int(n_same) == 1 and int(n_diff) == 2
+
+
+def test_nms_mask():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 10, 10], [50, 50, 60, 60]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    m = np.asarray(nms_mask(boxes, scores, 0.5, max_out=3))
+    assert m.tolist() == [True, False, True]
+
+
+# ---------------------------------------------------------------- grid_sample
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_matches_torch(padding_mode, align_corners):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(2)
+    feat = rng.rand(2, 9, 11, 3).astype(np.float32)  # NHWC
+    grid = (rng.rand(2, 5, 7, 2).astype(np.float32) * 2.4 - 1.2)  # includes OOB
+
+    want = F.grid_sample(
+        torch.from_numpy(feat).permute(0, 3, 1, 2), torch.from_numpy(grid),
+        mode="bilinear", padding_mode=padding_mode, align_corners=align_corners,
+    ).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(grid_sample(jnp.asarray(feat), jnp.asarray(grid),
+                                 align_corners=align_corners, padding_mode=padding_mode))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_point_sample_pixel_exact_on_ramp():
+    # bilinear interp is exact for linear functions
+    h, w = 8, 8
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    feat = np.stack([xx, yy], -1)[None]  # (1, H, W, 2)
+    pts = jnp.asarray([[[2.5, 3.25], [0.0, 0.0], [6.9, 1.1]]], jnp.float32)
+    out = np.asarray(point_sample_pixel(jnp.asarray(feat), pts))
+    np.testing.assert_allclose(out[0], np.asarray(pts[0]), atol=1e-5)
+
+
+# ---------------------------------------------------------------- roi_align
+def test_roi_align_constant_feature():
+    feat = jnp.ones((1, 16, 16, 4), jnp.float32) * 3.0
+    rois = jnp.asarray([[0, 8, 8, 40, 40]], jnp.float32)  # image coords, scale 1/4
+    out = roi_align(feat, rois, spatial_scale=0.25, output_size=7, sampling_ratio=2)
+    assert out.shape == (1, 7, 7, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_roi_align_linear_ramp_exact():
+    # On a linear ramp f(x,y)=x, each bin's average equals its center x.
+    h, w = 32, 32
+    xx = np.mgrid[0:h, 0:w][1].astype(np.float32)
+    feat = jnp.asarray(xx[None, :, :, None])
+    # roi from x1=4..28 y1=4..28 at scale 1.0
+    rois = jnp.asarray([[0, 4, 4, 28, 28]], jnp.float32)
+    out = np.asarray(roi_align(feat, rois, 1.0, output_size=4, sampling_ratio=2))[0, :, :, 0]
+    # aligned=True: sample coords shift by -0.5; bin width=6; centers at
+    # x1-0.5 + (i+0.5)*6 = 3.5 + 3,9,15,21
+    want = np.asarray([6.5, 12.5, 18.5, 24.5])
+    np.testing.assert_allclose(out[0], want, atol=1e-4)
+    np.testing.assert_allclose(out[3], want, atol=1e-4)
+
+
+def test_roi_align_batch_indexing():
+    feat = jnp.stack([jnp.ones((8, 8, 1)), jnp.ones((8, 8, 1)) * 5.0])
+    rois = jnp.asarray([[1, 0, 0, 8, 8], [0, 0, 0, 8, 8]], jnp.float32)
+    out = np.asarray(roi_align(feat, rois, 1.0, output_size=2, sampling_ratio=1))
+    np.testing.assert_allclose(out[0], 5.0, atol=1e-5)
+    np.testing.assert_allclose(out[1], 1.0, atol=1e-5)
