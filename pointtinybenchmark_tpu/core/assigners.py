@@ -1,0 +1,314 @@
+"""Assigners: MaxIoU (vectorized, static-shape) and HungarianAssignerV2
+(top-k repeated Hungarian matching via a host callback).
+
+Parity targets:
+- MaxIoUAssigner: mmdet core/bbox/assigners/max_iou_assigner.py — the
+  sequential per-gt low-quality-match loop is re-derived as a vectorized
+  "last gt wins" rule (identical result to the reference loop order).
+- HungarianAssignerV2: fork core/bbox/assigners/hungarian_assigner.py:149-271
+  — configurable cls/reg cost lists, `topk_k` rounds of
+  scipy.optimize.linear_sum_assignment over still-unassigned predictions
+  (each round assigns one more prediction to every gt while
+  #unassigned >= #gts). The GPU->CPU hop in the reference becomes a
+  jax.pure_callback; cost computation stays on-device.
+
+Assignment encoding (mmdet convention): -1 = ignore, 0 = negative,
+j >= 1 = matched to gt j-1.
+
+All arrays are padded/static; `gt_valid` masks padded gt rows.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import BBOX_ASSIGNERS, MATCH_COSTS
+from ..ops.iou import bbox_overlaps
+
+__all__ = ["MaxIoUAssigner", "HungarianAssignerV2", "topk_hungarian_match",
+           "topk_hungarian_match_callback", "topk_auction_match"]
+
+BIG = 1e8
+
+
+@BBOX_ASSIGNERS.register_module()
+class MaxIoUAssigner:
+    def __init__(self,
+                 pos_iou_thr: float,
+                 neg_iou_thr,
+                 min_pos_iou: float = 0.0,
+                 gt_max_assign_all: bool = True,
+                 ignore_iof_thr: float = -1.0,
+                 match_low_quality: bool = True,
+                 iou_calculator=None):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou
+        self.gt_max_assign_all = gt_max_assign_all
+        self.ignore_iof_thr = ignore_iof_thr
+        self.match_low_quality = match_low_quality
+
+    def assign(self,
+               bboxes: jnp.ndarray,          # (N, 4)
+               gt_bboxes: jnp.ndarray,       # (G, 4) padded
+               gt_valid: jnp.ndarray,        # (G,) bool
+               gt_labels: Optional[jnp.ndarray] = None,   # (G,) int
+               gt_bboxes_ignore: Optional[jnp.ndarray] = None,  # (GI, 4)
+               gt_ignore_valid: Optional[jnp.ndarray] = None,
+               bbox_valid: Optional[jnp.ndarray] = None):
+        n = bboxes.shape[0]
+        # Padded gt columns get overlap 0 (not -1): anchors with no real gt
+        # overlap must become negatives, matching the reference's
+        # num_gt==0 -> all-background special case.
+        overlaps = bbox_overlaps(bboxes, gt_bboxes)          # (N, G)
+        overlaps = jnp.where(gt_valid[None, :], overlaps, 0.0)
+
+        max_overlaps = jnp.max(overlaps, axis=1)             # (N,)
+        argmax_overlaps = jnp.argmax(overlaps, axis=1)       # (N,)
+
+        assigned = jnp.full((n,), -1, jnp.int32)
+        # negatives
+        if isinstance(self.neg_iou_thr, (tuple, list)):
+            lo, hi = self.neg_iou_thr
+            neg = (max_overlaps >= lo) & (max_overlaps < hi)
+        else:
+            neg = (max_overlaps >= 0) & (max_overlaps < self.neg_iou_thr)
+        assigned = jnp.where(neg, 0, assigned)
+        # positives
+        pos = max_overlaps >= self.pos_iou_thr
+        assigned = jnp.where(pos, argmax_overlaps.astype(jnp.int32) + 1, assigned)
+
+        if self.match_low_quality:
+            # per-gt max; anchors achieving it get the gt (later gt overrides
+            # earlier -> take the largest qualifying gt index per anchor,
+            # matching the reference's in-order loop).
+            gt_max = jnp.max(overlaps, axis=0)               # (G,)
+            if self.gt_max_assign_all:
+                cand = (overlaps == gt_max[None, :]) & (gt_max[None, :] >= self.min_pos_iou) \
+                       & gt_valid[None, :] & (overlaps > 0)
+            else:
+                is_gt_argmax = jnp.zeros_like(overlaps, dtype=bool).at[
+                    jnp.argmax(overlaps, axis=0), jnp.arange(overlaps.shape[1])].set(True)
+                cand = is_gt_argmax & (gt_max[None, :] >= self.min_pos_iou) & gt_valid[None, :]
+            g = overlaps.shape[1]
+            gt_idx1 = jnp.arange(1, g + 1, dtype=jnp.int32)
+            lq = jnp.max(jnp.where(cand, gt_idx1[None, :], 0), axis=1)  # (N,) 0 if none
+            assigned = jnp.where(lq > 0, lq, assigned)
+
+        # ignore regions: anchors with IoF vs any ignore region > thr -> -1
+        if (gt_bboxes_ignore is not None and self.ignore_iof_thr > 0):
+            iof = bbox_overlaps(bboxes, gt_bboxes_ignore, mode="iof")
+            if gt_ignore_valid is not None:
+                iof = jnp.where(gt_ignore_valid[None, :], iof, -1.0)
+            ignore_mask = jnp.max(iof, axis=1) > self.ignore_iof_thr
+            assigned = jnp.where(ignore_mask, -1, assigned)
+
+        if bbox_valid is not None:
+            assigned = jnp.where(bbox_valid, assigned, -1)
+
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe], -1)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+        return assigned, max_overlaps, labels
+
+
+def _topk_lsa_host(cost: np.ndarray, num_gts: np.ndarray, num_preds: np.ndarray,
+                   topk_k: int) -> np.ndarray:
+    """Host implementation of the fork's top-k repeated LSA.
+
+    cost: (B, N, G) float32; num_gts/num_preds: (B,) int32.
+    Returns assigned (B, N) int32 with 0 = background, j+1 = gt j.
+    """
+    b, n, g = cost.shape
+    out = np.zeros((b, n), np.int32)
+    for bi in range(b):
+        ng = int(num_gts[bi])
+        npred = int(num_preds[bi])
+        if ng == 0 or npred == 0:
+            continue
+        c = cost[bi, :npred, :ng].astype(np.float64)
+        c = np.nan_to_num(c, nan=BIG, posinf=BIG, neginf=-BIG)
+        assigned = np.zeros(npred, np.int64)
+        index = np.nonzero(assigned == 0)[0]
+        rounds = 0
+        while index.shape[0] // ng != 0 and rounds < topk_k:
+            rounds += 1
+            sub = c[index]
+            rows, cols = linear_sum_assignment(sub)
+            assigned[index[rows]] = cols + 1
+            index = np.nonzero(assigned == 0)[0]
+        out[bi, :npred] = assigned
+    return out
+
+
+def topk_hungarian_match_callback(cost: jnp.ndarray, num_gts: jnp.ndarray,
+                                  num_preds: jnp.ndarray, topk_k: int) -> jnp.ndarray:
+    """Batched top-k Hungarian via pure_callback (CPU hop, like the
+    reference's cost.detach().cpu() at hungarian_assigner.py:230).
+
+    NOTE: the axon TPU PJRT backend does not support host callbacks; this
+    path works on CPU/GPU and is kept as the golden reference. On TPU use
+    `topk_auction_match` (in-graph)."""
+    b, n, _ = cost.shape
+    result_shape = jax.ShapeDtypeStruct((b, n), jnp.int32)
+    return jax.pure_callback(
+        lambda c, ng, npd: _topk_lsa_host(np.asarray(c), np.asarray(ng),
+                                          np.asarray(npd), topk_k),
+        result_shape, cost.astype(jnp.float32), num_gts, num_preds,
+        vmap_method="sequential")
+
+
+def _auction_round(benefit: jnp.ndarray, pred_taken: jnp.ndarray,
+                   eps: float, max_iters: int):
+    """One full one-to-one assignment of every valid gt to a distinct pred.
+
+    Reverse auction: gts (few) bid for preds (many). benefit (G, N) with
+    -inf columns for taken/invalid preds and -inf rows for invalid gts.
+    Returns owner (N,) int32 = gt index + 1 (0 = unowned).
+
+    Converges to within G*eps of the optimal assignment; with eps small
+    relative to cost gaps this matches scipy's linear_sum_assignment
+    (ties may break differently — acceptable for training).
+    """
+    g, n = benefit.shape
+    NEG = jnp.float32(-1e9)
+    row_valid = jnp.any(benefit > NEG, axis=1)  # gts with at least one pred
+
+    def cond(state):
+        it, price, owner, gt_assigned = state
+        return (it < max_iters) & jnp.any((~gt_assigned) & row_valid)
+
+    def body(state):
+        it, price, owner, gt_assigned = state
+        value = benefit - price[None, :]            # (G, N)
+        # top-2 values per gt row
+        best_idx = jnp.argmax(value, axis=1)        # (G,)
+        best_val = jnp.take_along_axis(value, best_idx[:, None], axis=1)[:, 0]
+        masked = value.at[jnp.arange(g), best_idx].set(NEG)
+        second_val = jnp.max(masked, axis=1)
+        bid = best_val - second_val + eps            # (G,)
+        bidding = (~gt_assigned) & (best_val > NEG)
+        # each pred takes its highest bidder
+        bid_amount = jnp.where(bidding, bid, -jnp.inf)  # (G,)
+        bids = jnp.full((g, n), -jnp.inf).at[jnp.arange(g), best_idx].set(bid_amount)
+        win_gt = jnp.argmax(bids, axis=0)            # (N,)
+        win_bid = jnp.max(bids, axis=0)              # (N,)
+        has_bid = win_bid > -jnp.inf
+        # previous owner of a re-bid pred becomes unassigned
+        prev_owner = owner                            # (N,) gt+1
+        owner = jnp.where(has_bid, win_gt.astype(jnp.int32) + 1, owner)
+        price = jnp.where(has_bid, price + win_bid, price)
+        # recompute gt_assigned from owner
+        gt_assigned = jnp.zeros((g,), bool).at[
+            jnp.clip(owner - 1, 0, g - 1)].max(owner > 0)
+        del prev_owner
+        return it + 1, price, owner, gt_assigned
+
+    init = (jnp.int32(0), jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.int32), jnp.zeros((g,), bool))
+    _, _, owner, _ = jax.lax.while_loop(cond, body, init)
+    return owner
+
+
+def topk_auction_match(cost: jnp.ndarray, gt_valid: jnp.ndarray,
+                       topk_k: int, eps: float = 1e-4,
+                       max_iters: int = 2000) -> jnp.ndarray:
+    """In-graph batched top-k assignment (TPU-native Hungarian replacement).
+
+    Args:
+        cost: (B, N, G) — prediction x gt cost.
+        gt_valid: (B, G) bool.
+        topk_k: rounds; each round matches every valid gt to one more
+            distinct prediction (fork hungarian_assigner.py:248-268).
+    Returns:
+        assigned (B, N) int32: 0 background, j+1 matched to gt j.
+    """
+    NEG = jnp.float32(-1e9)
+
+    def one(c, gv):
+        n, g = c.shape
+        benefit0 = jnp.where(gv[:, None], -c.T, NEG)  # (G, N)
+
+        def round_body(_, carry):
+            assigned, pred_taken = carry
+            benefit = jnp.where(pred_taken[None, :], NEG, benefit0)
+            benefit = jnp.where(gv[:, None], benefit, NEG)
+            owner = _auction_round(benefit, pred_taken, eps, max_iters)
+            newly = (owner > 0) & (~pred_taken)
+            assigned = jnp.where(newly, owner, assigned)
+            pred_taken = pred_taken | newly
+            return assigned, pred_taken
+
+        assigned = jnp.zeros((n,), jnp.int32)
+        pred_taken = jnp.zeros((n,), bool)
+        assigned, _ = jax.lax.fori_loop(0, topk_k, round_body,
+                                        (assigned, pred_taken))
+        return assigned
+
+    return jax.vmap(one)(cost.astype(jnp.float32), gt_valid)
+
+
+def topk_hungarian_match(cost: jnp.ndarray, num_gts: jnp.ndarray,
+                         num_preds: jnp.ndarray, topk_k: int) -> jnp.ndarray:
+    """Default matcher: in-graph auction (works on every backend)."""
+    g = cost.shape[2]
+    gt_valid = jnp.arange(g)[None, :] < num_gts[:, None]
+    return topk_auction_match(cost, gt_valid, topk_k)
+
+
+@BBOX_ASSIGNERS.register_module()
+class HungarianAssignerV2:
+    """Fork's one-to-many point matcher (hungarian_assigner.py:149-271)."""
+
+    def __init__(self, cls_costs=None, reg_costs=None, topk_k: int = 1):
+        if cls_costs is None:
+            cls_costs = [dict(type="ClassificationCost", weight=1.0)]
+        if reg_costs is None:
+            reg_costs = [dict(type="BBoxL1Cost", weight=1.0),
+                         dict(type="IoUCost", iou_mode="giou", weight=1.0)]
+        cls_costs = cls_costs if isinstance(cls_costs, (list, tuple)) else [cls_costs]
+        reg_costs = reg_costs if isinstance(reg_costs, (list, tuple)) else [reg_costs]
+        self.cls_costs = [MATCH_COSTS.build(dict(c)) for c in cls_costs]
+        self.reg_costs = [MATCH_COSTS.build(dict(c)) for c in reg_costs]
+        self.topk_k = topk_k
+
+    def cost_matrix(self, bbox_pred, cls_pred, gt_bboxes, gt_labels, img_meta,
+                    gt_valid):
+        cost = sum(c(cls_pred, gt_labels) for c in self.cls_costs) \
+            + sum(c(bbox_pred, gt_bboxes, img_meta) for c in self.reg_costs)
+        # invalid gt columns can't win a match
+        return jnp.where(gt_valid[None, :], cost, BIG)
+
+    def assign_batch(self, bbox_preds, cls_preds, gt_bboxes, gt_labels,
+                     img_metas, gt_valid):
+        """Batched assignment.
+
+        Args:
+            bbox_preds: (B, N, 2k)  cls_preds: (B, N, C)
+            gt_bboxes: (B, G, 2k)  gt_labels: (B, G)  gt_valid: (B, G) bool
+            img_metas: dict of batched arrays with key "img_shape" (B, 2+).
+        Returns:
+            assigned (B, N) int32 (0 bg, j+1 fg), labels (B, N) int32.
+        """
+        b, n = bbox_preds.shape[:2]
+
+        def one(bp, cp, gb, gl, gv, shape):
+            meta = {"img_shape": shape}
+            return self.cost_matrix(bp, cp, gb, gl, meta, gv)
+
+        cost = jax.vmap(one)(bbox_preds, cls_preds, gt_bboxes, gt_labels,
+                             gt_valid, img_metas["img_shape"])
+        num_gts = jnp.sum(gt_valid.astype(jnp.int32), axis=1)
+        num_preds = jnp.full((b,), n, jnp.int32)
+        assigned = topk_hungarian_match(cost, num_gts, num_preds, self.topk_k)
+        safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[1] - 1)
+        labels = jnp.where(assigned > 0,
+                           jnp.take_along_axis(gt_labels, safe, axis=1), -1)
+        return assigned, labels

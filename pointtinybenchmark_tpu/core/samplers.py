@@ -1,0 +1,92 @@
+"""Positive/negative samplers with fixed (static) budgets.
+
+Parity target: mmdet core/bbox/samplers/random_sampler.py + pseudo_sampler.py
+as configured by the reference (RPN: num=256 pos_fraction=0.5; RoI: num=512
+pos_fraction=0.25, add_gt_as_proposals=True —
+configs2/TinyPerson/base/faster_rcnn_r50_fpn_1x_TinyPerson640.py:74-101).
+
+Dynamic-size index selection is replaced by mask + random-priority top-k
+(Gumbel trick): every candidate gets a random priority, the budget-many
+highest-priority valid candidates are chosen — identical distribution to
+uniform sampling without replacement, fully static shapes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import BBOX_SAMPLERS
+
+__all__ = ["SamplingResult", "RandomSampler", "PseudoSampler", "random_topk_mask"]
+
+
+class SamplingResult(NamedTuple):
+    pos_mask: jnp.ndarray      # (N,) bool — chosen positives
+    neg_mask: jnp.ndarray      # (N,) bool — chosen negatives
+    assigned_gt_inds: jnp.ndarray  # (N,) int32 (0 bg, j+1 fg, -1 ignore)
+    labels: jnp.ndarray        # (N,) int32 (-1 for non-pos)
+
+
+def random_topk_mask(key: jax.Array, candidate_mask: jnp.ndarray,
+                     budget: int) -> jnp.ndarray:
+    """Select up to `budget` True entries uniformly at random; static shape.
+
+    Returns a bool mask with <= budget entries set (fewer when the candidate
+    pool is smaller than the budget).
+    """
+    n = candidate_mask.shape[0]
+    priority = jax.random.uniform(key, (n,))
+    priority = jnp.where(candidate_mask, priority, -1.0)
+    # threshold = budget-th largest priority
+    topk_vals, _ = jax.lax.top_k(priority, min(budget, n))
+    thresh = topk_vals[-1]
+    chosen = candidate_mask & (priority >= jnp.maximum(thresh, 0.0))
+    # guard against ties creating >budget picks: ties on float32 uniform are
+    # measure-zero; accept the approximation.
+    return chosen
+
+
+@BBOX_SAMPLERS.register_module()
+class RandomSampler:
+    def __init__(self, num: int, pos_fraction: float, neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True):
+        self.num = num
+        self.pos_fraction = pos_fraction
+        self.neg_pos_ub = neg_pos_ub
+        self.add_gt_as_proposals = add_gt_as_proposals
+
+    def sample(self, key: jax.Array, assigned_gt_inds: jnp.ndarray,
+               labels: jnp.ndarray) -> SamplingResult:
+        """Sample from assignment results (already including gt-as-proposal
+        rows if add_gt_as_proposals — the caller concatenates them)."""
+        kp, kn = jax.random.split(key)
+        pos_cand = assigned_gt_inds > 0
+        neg_cand = assigned_gt_inds == 0
+        num_pos_budget = int(self.num * self.pos_fraction)
+        pos_mask = random_topk_mask(kp, pos_cand, num_pos_budget)
+        num_pos = jnp.sum(pos_mask.astype(jnp.int32))
+        num_neg_budget = self.num - num_pos_budget  # static upper bound
+        if self.neg_pos_ub >= 0:
+            # cap negatives at neg_pos_ub * num_pos (dynamic) within budget
+            neg_allow = jnp.minimum(num_neg_budget, self.neg_pos_ub * jnp.maximum(num_pos, 1))
+        else:
+            neg_allow = jnp.asarray(num_neg_budget)
+        # sample a static budget then trim by priority rank against neg_allow
+        n = assigned_gt_inds.shape[0]
+        priority = jax.random.uniform(kn, (n,))
+        priority = jnp.where(neg_cand, priority, -1.0)
+        order = jnp.argsort(-priority)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+        neg_mask = neg_cand & (rank < neg_allow)
+        return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
+
+
+@BBOX_SAMPLERS.register_module()
+class PseudoSampler:
+    """Pass-through sampler (used by P2P/dense heads)."""
+
+    def sample(self, key, assigned_gt_inds, labels) -> SamplingResult:
+        return SamplingResult(assigned_gt_inds > 0, assigned_gt_inds == 0,
+                              assigned_gt_inds, labels)
