@@ -5,7 +5,8 @@ Parity target: TOV_mmdetection/mmdet/core/anchor/anchor_generator.py
 point_generator.py:7-37 (PointGenerator returning (x, y, stride) grids).
 
 All generation is host-side numpy at trace time (featmap sizes are static
-under jit), returned as jnp arrays — the grids become compile-time constants
+under jit), returned as numpy arrays (JAX treats them as constants; converting to
+jnp inside a trace would create tracers) — the grids become compile-time constants
 folded into the XLA program.
 """
 from __future__ import annotations
@@ -13,8 +14,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
-
-import jax.numpy as jnp
 
 from ..utils.registry import ANCHOR_GENERATORS
 
@@ -82,7 +81,7 @@ class AnchorGenerator:
         return np.stack([x_c - 0.5 * ws, y_c - 0.5 * hs,
                          x_c + 0.5 * ws, y_c + 0.5 * hs], axis=-1).astype(np.float32)
 
-    def single_level_grid_anchors(self, featmap_size: Tuple[int, int], level: int) -> jnp.ndarray:
+    def single_level_grid_anchors(self, featmap_size: Tuple[int, int], level: int) -> np.ndarray:
         """(H*W*A, 4) anchors for one level (row-major over the grid)."""
         h, w = featmap_size
         sx, sy = self.strides[level]
@@ -91,13 +90,13 @@ class AnchorGenerator:
         xx, yy = np.meshgrid(shift_x, shift_y)
         shifts = np.stack([xx.ravel(), yy.ravel(), xx.ravel(), yy.ravel()], axis=-1)
         anchors = (self.base_anchors[level][None, :, :] + shifts[:, None, :])
-        return jnp.asarray(anchors.reshape(-1, 4))
+        return anchors.reshape(-1, 4)
 
-    def grid_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[jnp.ndarray]:
+    def grid_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[np.ndarray]:
         assert len(featmap_sizes) == self.num_levels
         return [self.single_level_grid_anchors(fs, i) for i, fs in enumerate(featmap_sizes)]
 
-    def valid_flags(self, featmap_sizes, pad_shape) -> List[jnp.ndarray]:
+    def valid_flags(self, featmap_sizes, pad_shape) -> List[np.ndarray]:
         """Anchors whose grid cell lies inside the (unpadded) image."""
         flags = []
         for i, (h, w) in enumerate(featmap_sizes):
@@ -107,7 +106,7 @@ class AnchorGenerator:
             vx = np.zeros(w, bool); vx[:valid_w] = True
             vy = np.zeros(h, bool); vy[:valid_h] = True
             vv = (vy[:, None] & vx[None, :]).ravel()
-            flags.append(jnp.asarray(np.repeat(vv, self.num_base_anchors[i])))
+            flags.append(np.repeat(vv, self.num_base_anchors[i]))
         return flags
 
 
@@ -119,17 +118,17 @@ class PointGenerator:
     corners (x = ix * stride), matching the reference exactly.
     """
 
-    def grid_points(self, featmap_size: Tuple[int, int], stride: int) -> jnp.ndarray:
+    def grid_points(self, featmap_size: Tuple[int, int], stride: int) -> np.ndarray:
         h, w = featmap_size
         shift_x = np.arange(0., w, dtype=np.float32) * stride
         shift_y = np.arange(0., h, dtype=np.float32) * stride
         xx, yy = np.meshgrid(shift_x, shift_y)
         ss = np.full_like(xx.ravel(), float(stride))
-        return jnp.asarray(np.stack([xx.ravel(), yy.ravel(), ss], axis=-1))
+        return np.stack([xx.ravel(), yy.ravel(), ss], axis=-1)
 
-    def valid_flags(self, featmap_size, valid_size) -> jnp.ndarray:
+    def valid_flags(self, featmap_size, valid_size) -> np.ndarray:
         h, w = featmap_size
         vh, vw = valid_size
         vx = np.zeros(w, bool); vx[:vw] = True
         vy = np.zeros(h, bool); vy[:vh] = True
-        return jnp.asarray((vy[:, None] & vx[None, :]).ravel())
+        return (vy[:, None] & vx[None, :]).ravel()

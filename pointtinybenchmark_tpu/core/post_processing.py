@@ -1,0 +1,80 @@
+"""Detection post-processing: static-shape multiclass NMS.
+
+Parity target: mmdet core/post_processing/bbox_nms.py multiclass_nms —
+per-class score threshold + class-batched NMS + max_per_img cap. Dynamic
+filtering becomes masking; outputs are fixed-size (max_per_img) with a
+validity mask, so the whole path stays on-device under jit (the reference
+runs mmcv CUDA NMS here; SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import batched_nms
+
+__all__ = ["multiclass_nms", "DetResult"]
+
+
+class DetResult(NamedTuple):
+    bboxes: jnp.ndarray   # (max_per_img, 5) — x1,y1,x2,y2,score
+    labels: jnp.ndarray   # (max_per_img,) int32
+    valid: jnp.ndarray    # (max_per_img,) bool
+
+
+@partial(jax.jit, static_argnames=("max_per_img", "pre_nms_limit"))
+def multiclass_nms(multi_bboxes: jnp.ndarray,
+                   multi_scores: jnp.ndarray,
+                   score_thr: float,
+                   iou_threshold: float,
+                   max_per_img: int,
+                   valid_mask: Optional[jnp.ndarray] = None,
+                   pre_nms_limit: int = 20000) -> DetResult:
+    """
+    Args:
+        multi_bboxes: (N, 4) (class-agnostic) or (N, C*4).
+        multi_scores: (N, C+1) — last column is background (dropped), matching
+            the reference convention.
+        score_thr: drop candidates at or below this score.
+        iou_threshold: NMS IoU threshold.
+        max_per_img: static output size.
+        valid_mask: (N,) bool for padded rows.
+        pre_nms_limit: static cap on flattened (N*C) candidates fed to NMS.
+    """
+    n = multi_scores.shape[0]
+    num_classes = multi_scores.shape[1] - 1
+    scores = multi_scores[:, :num_classes]                   # (N, C)
+    if multi_bboxes.shape[-1] == 4:
+        boxes = jnp.broadcast_to(multi_bboxes[:, None, :], (n, num_classes, 4))
+    else:
+        boxes = multi_bboxes.reshape(n, num_classes, 4)
+
+    flat_scores = scores.reshape(-1)                         # (N*C,)
+    flat_boxes = boxes.reshape(-1, 4)
+    flat_labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
+    ok = flat_scores > score_thr
+    if valid_mask is not None:
+        ok = ok & jnp.repeat(valid_mask, num_classes)
+    flat_scores = jnp.where(ok, flat_scores, -1.0)
+
+    # static candidate cap (keeps the NMS problem small)
+    k = min(pre_nms_limit, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    top_boxes = flat_boxes[top_idx]
+    top_labels = flat_labels[top_idx]
+    top_valid = top_scores > score_thr
+
+    keep_idx, num_kept = batched_nms(top_boxes, top_scores, top_labels,
+                                     iou_threshold, max_per_img,
+                                     valid_mask=top_valid)
+    out_valid = keep_idx >= 0
+    safe = jnp.where(out_valid, keep_idx, 0)
+    out_boxes = top_boxes[safe]
+    out_scores = jnp.where(out_valid, top_scores[safe], 0.0)
+    out_labels = jnp.where(out_valid, top_labels[safe], -1)
+    dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=1)
+    dets = jnp.where(out_valid[:, None], dets, 0.0)
+    return DetResult(dets, out_labels, out_valid)

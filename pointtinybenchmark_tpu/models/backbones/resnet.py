@@ -1,0 +1,141 @@
+"""ResNet backbone (flax.linen, NHWC).
+
+Parity target: mmdet models/backbones/resnet.py:671 (ResNet-18/34/50/101/152,
+style='pytorch': stride on the 3x3 conv of each bottleneck) with the
+detection-specific switches the reference configs use:
+`frozen_stages` (stop-gradient over early stages) and `norm_eval`
+(BN uses running stats during training — the TinyPerson configs freeze
+backbone BN, e.g. configs2/TinyPerson/base/faster_rcnn_r50_fpn_1x_
+TinyPerson640.py:17 requires_grad=False).
+
+TPU notes: convs run in NHWC so XLA tiles them straight onto the MXU;
+bfloat16-friendly (params stay f32, compute dtype configurable).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.registry import BACKBONES
+
+__all__ = ["ResNet"]
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    norm_use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
+                         dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
+                         dtype=self.dtype)(y)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            identity = nn.BatchNorm(
+                use_running_average=self.norm_use_running_average,
+                dtype=self.dtype)(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    norm_use_running_average: bool = True
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
+                         dtype=self.dtype)(y)
+        y = nn.relu(y)
+        # pytorch style: stride on the 3x3
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
+                         dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
+                         dtype=self.dtype)(y)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            identity = nn.BatchNorm(
+                use_running_average=self.norm_use_running_average,
+                dtype=self.dtype)(identity)
+        return nn.relu(y + identity)
+
+
+@BACKBONES.register_module()
+class ResNet(nn.Module):
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    frozen_stages: int = -1          # handled by the optimizer mask upstream
+    norm_eval: bool = True           # BN always uses running stats
+    base_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_name, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = BasicBlock if block_name == "basic" else Bottleneck
+        expansion = 1 if block_name == "basic" else 4
+        use_ra = (not train) or self.norm_eval
+
+        # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
+        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=use_ra, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        planes = self.base_channels
+        in_ch = self.base_channels
+        for i in range(self.num_stages):
+            nblocks = stage_blocks[i]
+            stride = self.strides[i]
+            for j in range(nblocks):
+                s = stride if j == 0 else 1
+                need_down = (j == 0) and (s != 1 or in_ch != planes * expansion)
+                x = block_cls(planes=planes, stride=s, downsample=need_down,
+                              dtype=self.dtype,
+                              norm_use_running_average=use_ra,
+                              name=f"layer{i + 1}_block{j}")(x)
+                in_ch = planes * expansion
+            if i in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)

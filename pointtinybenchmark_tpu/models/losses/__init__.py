@@ -1,0 +1,12 @@
+from .cross_entropy_loss import CrossEntropyLoss
+from .focal_loss import FocalLoss, sigmoid_focal_loss
+from .iou_loss import DIoULoss, GIoULoss, IoULoss
+from .mil_loss import AllPosLoss, MILLoss
+from .smooth_l1_loss import L1Loss, MSELoss, SmoothL1Loss
+from .utils import accuracy, reduce_loss, weight_reduce_loss
+
+__all__ = [
+    "FocalLoss", "sigmoid_focal_loss", "CrossEntropyLoss", "SmoothL1Loss",
+    "L1Loss", "MSELoss", "IoULoss", "GIoULoss", "DIoULoss", "MILLoss",
+    "AllPosLoss", "accuracy", "reduce_loss", "weight_reduce_loss",
+]

@@ -1,0 +1,84 @@
+"""IoU-family regression losses (mmdet models/losses/iou_loss.py parity)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ...ops.iou import bbox_overlaps_aligned
+from ...utils.registry import LOSSES
+from .utils import weight_reduce_loss
+
+__all__ = ["IoULoss", "GIoULoss", "DIoULoss"]
+
+
+@LOSSES.register_module()
+class IoULoss:
+    """-log(iou) (mmdet default linear=False)."""
+
+    def __init__(self, linear: bool = False, eps: float = 1e-6,
+                 reduction: str = "mean", loss_weight: float = 1.0):
+        self.linear = linear
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight: Optional[jnp.ndarray] = None,
+                 avg_factor=None, reduction_override=None):
+        reduction = reduction_override or self.reduction
+        ious = jnp.clip(bbox_overlaps_aligned(pred, target, eps=self.eps),
+                        self.eps, None)
+        loss = 1 - ious if self.linear else -jnp.log(ious)
+        if weight is not None and weight.ndim == pred.ndim:
+            weight = weight.mean(-1)
+        loss = weight_reduce_loss(loss, weight, reduction, avg_factor)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class GIoULoss:
+    def __init__(self, eps: float = 1e-7, reduction: str = "mean",
+                 loss_weight: float = 1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        gious = bbox_overlaps_aligned(pred, target, mode="giou", eps=self.eps)
+        loss = 1 - gious
+        if weight is not None and weight.ndim == pred.ndim:
+            weight = weight.mean(-1)
+        loss = weight_reduce_loss(loss, weight, reduction, avg_factor)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class DIoULoss:
+    def __init__(self, eps: float = 1e-7, reduction: str = "mean",
+                 loss_weight: float = 1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        ious = bbox_overlaps_aligned(pred, target, eps=self.eps)
+        # center distance over enclosing diagonal
+        pcx = (pred[..., 0] + pred[..., 2]) * 0.5
+        pcy = (pred[..., 1] + pred[..., 3]) * 0.5
+        tcx = (target[..., 0] + target[..., 2]) * 0.5
+        tcy = (target[..., 1] + target[..., 3]) * 0.5
+        rho2 = (pcx - tcx) ** 2 + (pcy - tcy) ** 2
+        ex1 = jnp.minimum(pred[..., 0], target[..., 0])
+        ey1 = jnp.minimum(pred[..., 1], target[..., 1])
+        ex2 = jnp.maximum(pred[..., 2], target[..., 2])
+        ey2 = jnp.maximum(pred[..., 3], target[..., 3])
+        c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2 + self.eps
+        loss = 1 - ious + rho2 / c2
+        if weight is not None and weight.ndim == pred.ndim:
+            weight = weight.mean(-1)
+        loss = weight_reduce_loss(loss, weight, reduction, avg_factor)
+        return self.loss_weight * loss

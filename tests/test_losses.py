@@ -1,0 +1,144 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pointtinybenchmark_tpu.models.losses import (AllPosLoss, CrossEntropyLoss,
+                                                  FocalLoss, GIoULoss, IoULoss,
+                                                  L1Loss, MILLoss, MSELoss,
+                                                  SmoothL1Loss)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _torch_sigmoid_focal(pred, target_onehot, gamma=2.0, alpha=0.25):
+    # mmdet py_sigmoid_focal_loss formula
+    pred_sigmoid = pred.sigmoid()
+    target = target_onehot.type_as(pred)
+    pt = (1 - pred_sigmoid) * target + pred_sigmoid * (1 - target)
+    focal_weight = (alpha * target + (1 - alpha) * (1 - target)) * pt.pow(gamma)
+    return F.binary_cross_entropy_with_logits(pred, target, reduction="none") * focal_weight
+
+
+def test_focal_loss_matches_mmdet_formula():
+    rng = np.random.RandomState(0)
+    pred = rng.randn(40, 5).astype(np.float32) * 3
+    labels = rng.randint(0, 6, 40)  # 5 == background
+    want = _torch_sigmoid_focal(
+        torch.from_numpy(pred),
+        F.one_hot(torch.from_numpy(labels), 6)[:, :5]).sum().numpy()
+    loss = FocalLoss(reduction="sum")(jnp.asarray(pred), jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+def test_focal_loss_avg_factor_and_weight():
+    pred = jnp.zeros((4, 2))
+    labels = jnp.asarray([0, 1, 2, 2])
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    loss = FocalLoss()(pred, labels, weight=w, avg_factor=2.0)
+    assert float(loss) > 0
+
+
+def test_cross_entropy_matches_torch():
+    rng = np.random.RandomState(1)
+    pred = rng.randn(30, 7).astype(np.float32)
+    labels = rng.randint(0, 7, 30)
+    want = F.cross_entropy(torch.from_numpy(pred), torch.from_numpy(labels)).numpy()
+    got = CrossEntropyLoss()(jnp.asarray(pred), jnp.asarray(labels))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_bce_matches_torch():
+    rng = np.random.RandomState(2)
+    pred = rng.randn(30, 4).astype(np.float32)
+    labels = rng.randint(0, 5, 30)  # 4 = bg
+    want = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(pred),
+        F.one_hot(torch.from_numpy(labels), 5)[:, :4].float(),
+        reduction="none").sum(-1).mean().numpy()
+    got = CrossEntropyLoss(use_sigmoid=True)(jnp.asarray(pred), jnp.asarray(labels))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_smooth_l1_matches_torch():
+    rng = np.random.RandomState(3)
+    pred = rng.randn(20, 4).astype(np.float32)
+    tgt = rng.randn(20, 4).astype(np.float32)
+    want = F.smooth_l1_loss(torch.from_numpy(pred), torch.from_numpy(tgt)).numpy()
+    got = SmoothL1Loss()(jnp.asarray(pred), jnp.asarray(tgt))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+    want = F.l1_loss(torch.from_numpy(pred), torch.from_numpy(tgt)).numpy()
+    got = L1Loss()(jnp.asarray(pred), jnp.asarray(tgt))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+    want = F.mse_loss(torch.from_numpy(pred), torch.from_numpy(tgt)).numpy()
+    got = MSELoss()(jnp.asarray(pred), jnp.asarray(tgt))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_iou_losses():
+    pred = jnp.asarray([[0., 0., 10., 10.]])
+    tgt = jnp.asarray([[0., 0., 10., 10.]])
+    assert float(IoULoss()(pred, tgt)) < 1e-5
+    assert float(GIoULoss()(pred, tgt)) < 1e-5
+    pred2 = jnp.asarray([[0., 0., 5., 10.]])
+    assert float(GIoULoss()(pred2, tgt)) > 0.4
+
+
+def _torch_mil_loss(bag_cls_prob, bag_ins_outs, labels, valid, eps=1e-6):
+    # reference MILLoss.forward re-derived in torch (gfocal, k=1)
+    B, N, C = bag_cls_prob.shape
+    prob_cls = bag_cls_prob.unsqueeze(-1)
+    prob_ins = bag_ins_outs.reshape(B, N, C, -1)
+    prob_ins = prob_ins.softmax(dim=1) * valid.unsqueeze(-1)
+    prob_ins = F.normalize(prob_ins, dim=1, p=1)
+    prob = (prob_cls * prob_ins).sum(dim=1)
+    label_weights = (valid.sum(dim=1) > 0).float()
+    onehot = F.one_hot(labels, C).float()
+    num_sample = max(float((label_weights.sum(-1) > 0).sum()), 1.0)
+    p = prob.squeeze(-1)
+    l1 = (p - onehot) ** 2
+    l2 = onehot * (p + eps).log() + (1 - onehot) * (1 - p + eps).log()
+    loss = -(l1 * l2 * label_weights).sum(-1)
+    return loss.sum() / num_sample
+
+
+def test_mil_loss_matches_reference_formula():
+    rng = np.random.RandomState(4)
+    b, n, c = 6, 9, 3
+    cls_prob = rng.rand(b, n, c).astype(np.float32)
+    ins = rng.randn(b, n, c).astype(np.float32)
+    labels = rng.randint(0, c, b)
+    valid = (rng.rand(b, n, 1) > 0.3).astype(np.float32)
+    valid[0] = 1.0  # ensure at least one fully-valid bag
+    want = _torch_mil_loss(torch.from_numpy(cls_prob), torch.from_numpy(ins),
+                           torch.from_numpy(labels), torch.from_numpy(valid)).numpy()
+    loss, acc, ns = MILLoss()(jnp.asarray(cls_prob), jnp.asarray(ins),
+                              jnp.asarray(labels), jnp.asarray(valid))
+    np.testing.assert_allclose(float(loss), want, rtol=1e-4)
+    assert 0 <= float(acc) <= 100
+
+
+def test_mil_loss_empty_bag_ignored():
+    b, n, c = 2, 4, 2
+    cls_prob = np.full((b, n, c), 0.5, np.float32)
+    ins = np.zeros((b, n, c), np.float32)
+    labels = np.asarray([0, 1])
+    valid = np.ones((b, n, 1), np.float32)
+    valid[1] = 0.0  # bag 1 empty -> only bag 0 counts
+    loss, _, ns = MILLoss()(jnp.asarray(cls_prob), jnp.asarray(ins),
+                            jnp.asarray(labels), jnp.asarray(valid))
+    assert float(ns) == 1.0
+    assert np.isfinite(float(loss))
+
+
+def test_all_pos_loss_runs():
+    rng = np.random.RandomState(5)
+    b, n, c = 3, 5, 4
+    cls_prob = rng.rand(b, n, c).astype(np.float32)
+    ins = rng.randn(b, n, c).astype(np.float32)
+    labels = rng.randint(0, c, b)
+    valid = np.ones((b, n, 1), np.float32)
+    loss, acc, ns = AllPosLoss()(jnp.asarray(cls_prob), jnp.asarray(ins),
+                                 jnp.asarray(labels), jnp.asarray(valid))
+    assert np.isfinite(float(loss)) and float(ns) == b * n
