@@ -1,0 +1,9 @@
+# Parity: TOV_mmdetection/configs/_base_/default_runtime.py
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=50)
+custom_hooks = []
+dist_params = dict(backend="ici")  # mesh over ICI replaces NCCL
+log_level = "INFO"
+load_from = None
+resume_from = None
+workflow = [("train", 1)]

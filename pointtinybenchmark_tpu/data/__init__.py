@@ -1,0 +1,25 @@
+from . import scale_match, tiling  # noqa: F401 — register pipeline modules
+from .coco import COCO
+from .cocofmt import CocoFmtDataset
+from .loader import DataLoader, DetCollator, EpochSampler, prefetch_to_device
+from .transforms import (Collect, Compose, DefaultFormatBundle,
+                         LoadAnnotations, LoadImageFromFile, Normalize, Pad,
+                         RandomCrop, RandomFlip, Resize)
+from .tiling import CroppedTilesFlipAug, generate_corner_dataset, tile_grid
+from .noise import generate_pseudo_bbox_for_point
+
+from ..utils.registry import DATASETS
+
+
+def build_dataset(cfg: dict):
+    return DATASETS.build(dict(cfg))
+
+
+__all__ = [
+    "COCO", "CocoFmtDataset", "build_dataset", "Compose",
+    "LoadImageFromFile", "LoadAnnotations", "Resize", "RandomFlip",
+    "Normalize", "Pad", "RandomCrop", "Collect", "DefaultFormatBundle",
+    "DataLoader", "DetCollator", "EpochSampler", "prefetch_to_device",
+    "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
+    "generate_pseudo_bbox_for_point",
+]

@@ -1,0 +1,288 @@
+"""CocoFmtDataset — the framework's workhorse dataset.
+
+Parity target: TOV_mmdetection/mmdet/datasets/cocofmt.py:64-528 (and the
+CocoDataset/CustomDataset machinery it inherits):
+- auto class discovery when classes=None (:115-116)
+- `ignore` attr handled as background (train_ignore_as_bg, :93,175)
+- min_gt_size image filtering (:135-155)
+- true_bbox + anns_id per annotation (:193-199)
+- on-the-fly corner (tile) dataset generation (:23-43) and noise/pseudo-box
+  generation for point supervision (:46-60)
+- evaluate() dispatching to COCOExpandEval / LocationEvaluator / tile merge
+  (:227-464)
+
+Host-side, pure numpy; the TPU collator (loader.py) turns per-sample dicts
+into static-shape padded device batches.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.logging import get_root_logger
+from ..utils.registry import DATASETS
+from .coco import COCO
+from .transforms import Compose
+
+__all__ = ["CocoFmtDataset"]
+
+
+@DATASETS.register_module()
+class CocoFmtDataset:
+    CLASSES: Optional[Sequence[str]] = None
+
+    def __init__(self,
+                 ann_file: str,
+                 pipeline: Sequence[dict],
+                 classes: Optional[Sequence[str]] = None,
+                 data_root: Optional[str] = None,
+                 img_prefix: str = "",
+                 test_mode: bool = False,
+                 filter_empty_gt: bool = True,
+                 min_gt_size: Optional[float] = None,
+                 train_ignore_as_bg: bool = True,
+                 corner_kwargs: Optional[dict] = None,
+                 noise_kwargs: Optional[dict] = None,
+                 merge_after_infer_kwargs: Optional[dict] = None,
+                 seed: int = 0):
+        if data_root is not None:
+            if not osp.isabs(ann_file):
+                ann_file = osp.join(data_root, ann_file)
+            if img_prefix and not osp.isabs(img_prefix):
+                img_prefix = osp.join(data_root, img_prefix)
+        if corner_kwargs is not None:
+            from .tiling import generate_corner_json_file_if_not_exist
+            ann_file = generate_corner_json_file_if_not_exist(
+                ann_file, data_root, dict(corner_kwargs))
+        if noise_kwargs is not None:
+            from .noise import generate_pseudo_bbox_for_noise_data
+            ann_file = generate_pseudo_bbox_for_noise_data(
+                ann_file, data_root, dict(noise_kwargs))
+
+        self.ann_file = ann_file
+        self.img_prefix = img_prefix
+        self.test_mode = test_mode
+        self.filter_empty_gt = filter_empty_gt
+        self.min_gt_size = min_gt_size
+        self.train_ignore_as_bg = train_ignore_as_bg
+        self.merge_after_infer_kwargs = merge_after_infer_kwargs
+        self.seed = seed
+
+        self.classes = list(classes) if classes is not None else None
+        self.data_infos = self.load_annotations(ann_file)
+
+        if not test_mode:
+            valid_inds = self._filter_imgs()
+            self.data_infos = [self.data_infos[i] for i in valid_inds]
+            self._set_group_flag()
+        else:
+            self.flag = np.zeros(len(self.data_infos), np.uint8)
+
+        self.pipeline = Compose(pipeline)
+        self._epoch = 0
+
+    # ------------------------------------------------------------- loading
+    def load_annotations(self, ann_file: str) -> List[dict]:
+        self.coco = COCO(ann_file)
+        if self.classes is None:
+            self.classes = [c["name"] for c in
+                            self.coco.dataset.get("categories", [])]
+        type(self).CLASSES = self.classes
+        self.cat_ids = self.coco.get_cat_ids(cat_names=self.classes)
+        self.cat2label = {cid: i for i, cid in enumerate(self.cat_ids)}
+        self.img_ids = self.coco.get_img_ids()
+        infos = []
+        for i in self.img_ids:
+            info = self.coco.load_imgs([i])[0]
+            info["filename"] = info["file_name"]
+            infos.append(info)
+        return infos
+
+    def _filter_imgs(self, min_size: int = 32) -> List[int]:
+        valid_inds, valid_img_ids = [], []
+        ids_with_ann = {a["image_id"] for a in
+                        self.coco.dataset.get("annotations", [])}
+        for i, info in enumerate(self.data_infos):
+            img_id = info["id"]
+            if self.filter_empty_gt and img_id not in ids_with_ann:
+                continue
+            if min(info["width"], info["height"]) < min_size:
+                continue
+            if self.min_gt_size:
+                ok = False
+                for ann in self.coco.img_ann_map[img_id]:
+                    if ann.get("ignore", False):
+                        continue
+                    if (ann["bbox"][3] > self.min_gt_size
+                            and ann["bbox"][2] > self.min_gt_size):
+                        ok = True
+                        break
+                if not ok:
+                    continue
+            valid_inds.append(i)
+            valid_img_ids.append(img_id)
+        self.img_ids = valid_img_ids
+        get_root_logger().info("valid image count: %d", len(valid_inds))
+        return valid_inds
+
+    def _set_group_flag(self):
+        """Aspect-ratio group flag (GroupSampler parity)."""
+        self.flag = np.zeros(len(self.data_infos), np.uint8)
+        for i, info in enumerate(self.data_infos):
+            if info["width"] / info["height"] > 1:
+                self.flag[i] = 1
+
+    def get_ann_info(self, idx: int) -> dict:
+        img_info = self.data_infos[idx]
+        ann_info = self.coco.img_ann_map[img_info["id"]]
+        return self._parse_ann_info(img_info, ann_info)
+
+    def _parse_ann_info(self, img_info: dict, ann_info: List[dict]) -> dict:
+        gt_bboxes, gt_labels, gt_bboxes_ignore = [], [], []
+        true_bboxes, anns_id = [], []
+        for ann in ann_info:
+            if self.train_ignore_as_bg and ann.get("ignore", False):
+                continue
+            x1, y1, w, h = ann["bbox"]
+            inter_w = max(0, min(x1 + w, img_info["width"]) - max(x1, 0))
+            inter_h = max(0, min(y1 + h, img_info["height"]) - max(y1, 0))
+            if inter_w * inter_h == 0:
+                continue
+            if ann.get("area", w * h) <= 0 or w < 1 or h < 1:
+                continue
+            if ann["category_id"] not in self.cat_ids:
+                continue
+            bbox = [x1, y1, x1 + w, y1 + h]
+            if ann.get("iscrowd", False):
+                gt_bboxes_ignore.append(bbox)
+            else:
+                gt_bboxes.append(bbox)
+                gt_labels.append(self.cat2label[ann["category_id"]])
+                if "true_bbox" in ann:
+                    tx, ty, tw, th = ann["true_bbox"]
+                    true_bboxes.append([tx, ty, tx + tw, ty + th])
+                anns_id.append(ann["id"])
+
+        out = dict(
+            bboxes=np.asarray(gt_bboxes, np.float32).reshape(-1, 4),
+            labels=np.asarray(gt_labels, np.int64),
+            anns_id=np.asarray(anns_id, np.int64),
+            bboxes_ignore=np.asarray(gt_bboxes_ignore,
+                                     np.float32).reshape(-1, 4),
+        )
+        if true_bboxes:
+            out["true_bboxes"] = np.asarray(true_bboxes, np.float32)
+        return out
+
+    # ------------------------------------------------------------- access
+    def __len__(self) -> int:
+        return len(self.data_infos)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __getitem__(self, idx: int) -> Optional[dict]:
+        if self.test_mode:
+            return self.prepare_test_img(idx)
+        return self.prepare_train_img(idx)
+
+    def _base_results(self, idx: int) -> dict:
+        return dict(
+            img_info=self.data_infos[idx],
+            img_prefix=self.img_prefix,
+            bbox_fields=[],
+            _rng=np.random.RandomState(
+                (self.seed * 1_000_003 + self._epoch * 10_007 + idx)
+                % (2 ** 31)),
+        )
+
+    def prepare_train_img(self, idx: int) -> Optional[dict]:
+        results = self._base_results(idx)
+        results["ann_info"] = self.get_ann_info(idx)
+        return self.pipeline(results)
+
+    def prepare_test_img(self, idx: int) -> Optional[dict]:
+        results = self._base_results(idx)
+        # val pipelines may Collect gt_* (the CPR eval path needs them)
+        results["ann_info"] = self.get_ann_info(idx)
+        return self.pipeline(results)
+
+    # ---------------------------------------------------------- evaluation
+    def format_results(self, results: List[dict]) -> List[dict]:
+        """results: per-image list of dicts with 'bboxes' (n,5 xyxy+score),
+        'labels' (n,), optional 'anns_id'. Returns COCO det json list."""
+        json_results = []
+        for idx, res in enumerate(results):
+            img_id = self.img_ids[idx]
+            bboxes = np.asarray(res["bboxes"])
+            labels = np.asarray(res["labels"])
+            for i in range(len(bboxes)):
+                x1, y1, x2, y2, score = bboxes[i][:5]
+                det = dict(
+                    image_id=int(img_id),
+                    bbox=[float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+                    score=float(score),
+                    category_id=int(self.cat_ids[int(labels[i])]),
+                )
+                if "anns_id" in res:
+                    det["ann_id"] = int(res["anns_id"][i])
+                if "points" in res:
+                    det["point"] = [float(v) for v in res["points"][i][:2]]
+                json_results.append(det)
+        return json_results
+
+    def evaluate(self,
+                 results: List[dict],
+                 metric: str = "bbox",
+                 logger=None,
+                 iou_thrs=None,
+                 proposal_nums=(100, 300, 1000),
+                 classwise: bool = False,
+                 use_location_metric: bool = False,
+                 location_kwargs: Optional[dict] = None,
+                 cocofmt_kwargs: Optional[dict] = None,
+                 save_result_file: Optional[str] = None,
+                 **kwargs) -> Dict[str, float]:
+        """Evaluate detections (reference cocofmt.py:227-464 dispatch)."""
+        import json
+
+        det_json = self.format_results(results)
+        gt_coco = self.coco
+
+        # optional tile merge (offline-corner eval path, :310-317)
+        if self.merge_after_infer_kwargs:
+            from ..evaluation.merge import merge_det_result
+            mk = self.merge_after_infer_kwargs
+            gt_file = mk.get("merge_gt_file")
+            det_json, gt_coco = merge_det_result(
+                det_json, self.coco, gt_file,
+                nms_th=mk.get("merge_nms_th", 0.5))
+
+        if save_result_file:
+            with open(save_result_file, "w") as f:
+                json.dump(det_json, f)
+            get_root_logger().info("saved result to %s", save_result_file)
+
+        if use_location_metric:
+            from ..evaluation.location_eval import LocationEvaluator
+            lk = dict(location_kwargs or {})
+            ev = LocationEvaluator(**lk)
+            return ev(det_json, gt_coco)
+
+        from ..evaluation.cocoeval import COCOExpandEval
+        ck = dict(cocofmt_kwargs or {})
+        cocofmt_param = dict(ck.pop("cocofmt_param", {}))
+        if iou_thrs is not None:
+            cocofmt_param.setdefault("iouThrs", list(iou_thrs))
+        if proposal_nums is not None:
+            pn = list(proposal_nums) if isinstance(proposal_nums, (list, tuple)) \
+                else [proposal_nums]
+            cocofmt_param.setdefault("maxDets", pn)
+        ev = COCOExpandEval(gt_coco, gt_coco.loadRes(det_json), "bbox",
+                            cocofmt_param=cocofmt_param, **ck)
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+        return ev.stats_dict

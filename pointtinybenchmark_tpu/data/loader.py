@@ -1,0 +1,200 @@
+"""Batching: static-shape padded collation + deterministic sampling +
+double-buffered device prefetch.
+
+Replaces the reference's torch DataLoader + GroupSampler stack
+(TOV_mmdetection/mmdet/datasets/builder.py:76, samplers/group_sampler.py):
+- aspect-ratio grouping -> same bucketing effect comes from fixed pad shapes
+  (TinyPerson tiles are already fixed 640x512 — SURVEY.md §7.1)
+- variable GT counts -> padded to max_gt with validity masks
+- DDP sharding -> `shard` slices the deterministic epoch permutation per host
+- python worker procs -> single-process here (1 host CPU); prefetch overlaps
+  host pipeline with device compute.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["DetCollator", "EpochSampler", "DataLoader", "prefetch_to_device"]
+
+
+class DetCollator:
+    def __init__(self, pad_shape: Optional[Tuple[int, int]] = None,
+                 size_divisor: int = 32, max_gt: int = 200,
+                 max_gt_ignore: int = 50, keep_keys: Sequence[str] = ()):
+        self.pad_shape = pad_shape      # (H, W); None = max-in-batch rounded
+        self.size_divisor = size_divisor
+        self.max_gt = max_gt
+        self.max_gt_ignore = max_gt_ignore
+        self.keep_keys = keep_keys
+
+    def _pad_boxes(self, arrs: List[np.ndarray], max_n: int):
+        b = len(arrs)
+        out = np.zeros((b, max_n, 4), np.float32)
+        valid = np.zeros((b, max_n), bool)
+        for i, a in enumerate(arrs):
+            n = min(len(a), max_n)
+            if n:
+                out[i, :n] = a[:n, :4]
+                valid[i, :n] = True
+        return out, valid
+
+    def __call__(self, samples: List[dict]) -> Dict[str, Any]:
+        samples = [s for s in samples if s is not None]
+        assert samples, "all samples in batch were filtered out"
+        imgs = [s["img"] for s in samples]
+        if self.pad_shape is not None:
+            th, tw = self.pad_shape
+        else:
+            d = self.size_divisor
+            th = max(im.shape[0] for im in imgs)
+            tw = max(im.shape[1] for im in imgs)
+            th = int(np.ceil(th / d)) * d
+            tw = int(np.ceil(tw / d)) * d
+        b = len(samples)
+        img = np.zeros((b, th, tw, imgs[0].shape[2]), np.float32)
+        img_shape = np.zeros((b, 2), np.int32)
+        for i, im in enumerate(imgs):
+            h, w = im.shape[:2]
+            assert h <= th and w <= tw, \
+                f"image ({h},{w}) exceeds pad shape ({th},{tw})"
+            img[i, :h, :w] = im
+            img_shape[i] = (h, w)
+
+        batch: Dict[str, Any] = {"img": img, "img_shape": img_shape}
+        metas = [s.get("img_metas", {}) for s in samples]
+        batch["scale_factor"] = np.stack([
+            np.asarray(m.get("scale_factor", [1, 1, 1, 1]), np.float32)
+            for m in metas])
+        batch["img_metas"] = metas
+
+        if "gt_bboxes" in samples[0]:
+            batch["gt_bboxes"], batch["gt_valid"] = self._pad_boxes(
+                [s["gt_bboxes"] for s in samples], self.max_gt)
+            labels = np.zeros((b, self.max_gt), np.int32)
+            for i, s in enumerate(samples):
+                n = min(len(s["gt_labels"]), self.max_gt)
+                if n:
+                    labels[i, :n] = s["gt_labels"][:n]
+            batch["gt_labels"] = labels
+        if "gt_bboxes_ignore" in samples[0]:
+            batch["gt_bboxes_ignore"], batch["gt_ignore_valid"] = \
+                self._pad_boxes([s["gt_bboxes_ignore"] for s in samples],
+                                self.max_gt_ignore)
+        if "gt_true_bboxes" in samples[0]:
+            batch["gt_true_bboxes"], _ = self._pad_boxes(
+                [s["gt_true_bboxes"] for s in samples], self.max_gt)
+        if "gt_anns_id" in samples[0]:
+            ids = np.full((b, self.max_gt), -1, np.int64)
+            for i, s in enumerate(samples):
+                n = min(len(s["gt_anns_id"]), self.max_gt)
+                if n:
+                    ids[i, :n] = s["gt_anns_id"][:n]
+            batch["gt_anns_id"] = ids
+        for k in self.keep_keys:
+            if k in samples[0]:
+                batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+        return batch
+
+
+class EpochSampler:
+    """Deterministic per-epoch permutation with optional host sharding
+    (DistributedGroupSampler parity: pads to even length per shard)."""
+
+    def __init__(self, dataset_len: int, shuffle: bool = True, seed: int = 0,
+                 num_shards: int = 1, shard_id: int = 0):
+        self.n = dataset_len
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+    def indices(self, epoch: int) -> np.ndarray:
+        if self.shuffle:
+            idx = np.random.RandomState(self.seed + epoch).permutation(self.n)
+        else:
+            idx = np.arange(self.n)
+        if self.num_shards > 1:
+            per = int(np.ceil(self.n / self.num_shards))
+            padded = np.concatenate([idx, idx[:per * self.num_shards - self.n]])
+            idx = padded[self.shard_id::self.num_shards]
+        return idx
+
+
+class DataLoader:
+    """Minimal deterministic batch iterator over a map-style dataset."""
+
+    def __init__(self, dataset, batch_size: int, collator: DetCollator,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 num_shards: int = 1, shard_id: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collator = collator
+        self.sampler = EpochSampler(len(dataset), shuffle, seed,
+                                    num_shards, shard_id)
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = self.sampler.indices(self.epoch)
+        if len(idx) < self.batch_size:  # tiny dataset: tile to one full batch
+            reps = int(np.ceil(self.batch_size / max(len(idx), 1)))
+            idx = np.tile(idx, reps)[:self.batch_size]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last else \
+            int(np.ceil(n / self.batch_size))
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx = self._epoch_indices()
+        nb = len(self)
+        for bi in range(nb):
+            sel = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
+            samples = []
+            for i in sel:
+                s = self.dataset[int(i)]
+                tries = 0
+                while s is None and tries < 10:  # filtered sample: resample
+                    i = (int(i) + 1) % len(self.dataset)
+                    s = self.dataset[i]
+                    tries += 1
+                if s is not None:
+                    samples.append(s)
+            yield self.collator(samples)
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Double-buffer host batches onto the device (img_metas stay on host)."""
+    import jax
+
+    queue: List[Any] = []
+
+    def _put(batch):
+        host_keys = {k: batch.pop(k) for k in list(batch)
+                     if k == "img_metas"}
+        dev = jax.device_put(batch)
+        dev.update(host_keys)
+        return dev
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(_put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.pop(0)
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out

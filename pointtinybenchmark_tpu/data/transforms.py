@@ -1,0 +1,380 @@
+"""Host-side data pipeline transforms (numpy + PIL).
+
+Parity targets (TOV_mmdetection/mmdet/datasets/pipelines/):
+- LoadImageFromFile incl. the fork's corner-crop-on-load (loading.py:63-68)
+- LoadAnnotations incl. fork keys gt_true_bboxes (:252), gt_anns_id (:274-275)
+- Resize incl. the fork's scale_factor=[1.0] native-resolution mode
+  (transforms.py:74,99-103), keep_ratio rescale semantics
+- RandomFlip, Normalize, Pad(size_divisor / fixed size)
+- Compose + Collect (formating.py; DataContainer machinery is replaced by
+  plain dicts — the TPU collator does static-shape padding instead).
+
+Transforms are dict-in/dict-out. Images flow as float32 RGB HWC numpy
+(mmcv loads BGR and converts in Normalize(to_rgb=True); loading RGB directly
+and treating to_rgb as a no-op is numerically identical).
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..utils.registry import PIPELINES
+
+__all__ = ["Compose", "LoadImageFromFile", "LoadAnnotations", "Resize",
+           "RandomFlip", "Normalize", "Pad", "Collect", "DefaultFormatBundle",
+           "ImageToTensor", "RandomCrop", "PhotoMetricDistortion"]
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = []
+        for t in transforms:
+            if isinstance(t, dict):
+                self.transforms.append(PIPELINES.build(dict(t)))
+            elif callable(t):
+                self.transforms.append(t)
+            else:
+                raise TypeError(f"transform must be dict or callable: {t}")
+
+    def __call__(self, results: Optional[dict]) -> Optional[dict]:
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+    def __repr__(self):
+        return f"Compose({self.transforms})"
+
+
+@PIPELINES.register_module()
+class LoadImageFromFile:
+    def __init__(self, to_float32: bool = True, color_type: str = "color"):
+        self.to_float32 = to_float32
+
+    def __call__(self, results: dict) -> dict:
+        info = results["img_info"]
+        if results.get("img_prefix"):
+            filename = osp.join(results["img_prefix"], info["file_name"])
+        else:
+            filename = info["file_name"]
+        img = np.asarray(Image.open(filename).convert("RGB"))
+        # fork corner-crop: pre-tiled (corner) datasets carry a crop rect
+        if "corner" in info:
+            l, u, r, b = [int(v) for v in info["corner"]]
+            img = img[u:b, l:r]
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results["filename"] = filename
+        results["ori_filename"] = info["file_name"]
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["ori_shape"] = img.shape
+        results["img_fields"] = ["img"]
+        return results
+
+
+@PIPELINES.register_module()
+class LoadAnnotations:
+    def __init__(self, with_bbox: bool = True, with_label: bool = True,
+                 with_mask: bool = False, with_seg: bool = False):
+        self.with_bbox = with_bbox
+        self.with_label = with_label
+
+    def __call__(self, results: dict) -> dict:
+        ann = results["ann_info"]
+        if self.with_bbox:
+            results["gt_bboxes"] = ann["bboxes"].copy()
+            results["gt_bboxes_ignore"] = ann.get(
+                "bboxes_ignore", np.zeros((0, 4), np.float32)).copy()
+            results["bbox_fields"] = ["gt_bboxes", "gt_bboxes_ignore"]
+            # fork extras for the point pipeline
+            if "true_bboxes" in ann:
+                results["gt_true_bboxes"] = ann["true_bboxes"].copy()
+                results["bbox_fields"].append("gt_true_bboxes")
+            if "anns_id" in ann:
+                results["gt_anns_id"] = ann["anns_id"].copy()
+        if self.with_label:
+            results["gt_labels"] = ann["labels"].copy()
+        return results
+
+
+def _imrescale_size(old_size: Tuple[int, int], scale, keep_ratio=True):
+    """mmcv rescale_size parity: scale is (max_long, max_short) or float."""
+    w, h = old_size
+    if isinstance(scale, (float, int)) and not isinstance(scale, bool):
+        scale_factor = float(scale)
+    else:
+        max_long_edge = max(scale)
+        max_short_edge = min(scale)
+        scale_factor = min(max_long_edge / max(h, w),
+                           max_short_edge / min(h, w))
+    new_w = int(w * scale_factor + 0.5)
+    new_h = int(h * scale_factor + 0.5)
+    return new_w, new_h
+
+
+@PIPELINES.register_module()
+class Resize:
+    """mmdet Resize with the fork's scale_factor mode.
+
+    Modes:
+    - img_scale=(w, h) [+keep_ratio]: standard mmdet resize.
+    - img_scale=None, ratio_range or scale_factor list: multiply native
+      resolution (fork transforms.py:74,99-103; scale_factor=[1.0] keeps
+      native resolution — the TinyPerson recipe).
+    """
+
+    def __init__(self, img_scale=None, multiscale_mode: str = "range",
+                 ratio_range=None, keep_ratio: bool = True,
+                 scale_factor=None, override: bool = False,
+                 bbox_clip_border: bool = True):
+        self.img_scale = img_scale
+        self.multiscale_mode = multiscale_mode
+        self.ratio_range = ratio_range
+        self.keep_ratio = keep_ratio
+        self.scale_factor = scale_factor
+        self.bbox_clip_border = bbox_clip_border
+
+    def _pick_scale(self, results) -> None:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        if self.scale_factor is not None:
+            sf = self.scale_factor
+            f = sf[rng.randint(len(sf))] if isinstance(sf, (list, tuple)) else sf
+            results["scale"] = None
+            results["_resize_ratio"] = float(f)
+        elif self.ratio_range is not None:
+            lo, hi = self.ratio_range
+            results["scale"] = None
+            results["_resize_ratio"] = float(rng.uniform(lo, hi))
+        elif isinstance(self.img_scale, list):
+            idx = rng.randint(len(self.img_scale))
+            results["scale"] = tuple(self.img_scale[idx])
+        else:
+            results["scale"] = tuple(self.img_scale) if self.img_scale else None
+
+    def __call__(self, results: dict) -> dict:
+        if "scale" not in results and "_resize_ratio" not in results:
+            self._pick_scale(results)
+        img = results["img"]
+        h, w = img.shape[:2]
+        if results.get("scale") is not None:
+            if self.keep_ratio:
+                new_w, new_h = _imrescale_size((w, h), results["scale"])
+            else:
+                new_w, new_h = results["scale"]
+        else:
+            ratio = results.get("_resize_ratio", 1.0)
+            new_w, new_h = int(w * ratio + 0.5), int(h * ratio + 0.5)
+
+        if (new_w, new_h) != (w, h):
+            pil = Image.fromarray(img.astype(np.uint8)) if img.dtype != np.uint8 \
+                else Image.fromarray(img)
+            img = np.asarray(pil.resize((new_w, new_h), Image.BILINEAR),
+                             dtype=np.float32)
+        else:
+            img = img.astype(np.float32)
+        w_scale = new_w / w
+        h_scale = new_h / h
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["pad_shape"] = img.shape
+        results["scale_factor"] = np.asarray(
+            [w_scale, h_scale, w_scale, h_scale], np.float32)
+        results["keep_ratio"] = self.keep_ratio
+
+        for key in results.get("bbox_fields", []):
+            bboxes = results[key] * results["scale_factor"]
+            if self.bbox_clip_border:
+                bboxes[:, 0::2] = np.clip(bboxes[:, 0::2], 0, new_w)
+                bboxes[:, 1::2] = np.clip(bboxes[:, 1::2], 0, new_h)
+            results[key] = bboxes
+        return results
+
+
+@PIPELINES.register_module()
+class RandomFlip:
+    def __init__(self, flip_ratio: Optional[float] = None,
+                 direction: str = "horizontal"):
+        self.flip_ratio = flip_ratio
+        self.direction = direction
+
+    def __call__(self, results: dict) -> dict:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        if "flip" not in results:
+            flip = (self.flip_ratio is not None
+                    and rng.rand() < self.flip_ratio)
+            results["flip"] = flip
+            results["flip_direction"] = self.direction
+        if results["flip"]:
+            img = results["img"]
+            h, w = img.shape[:2]
+            if results["flip_direction"] == "horizontal":
+                results["img"] = img[:, ::-1].copy()
+                for key in results.get("bbox_fields", []):
+                    b = results[key].copy()
+                    b[:, 0] = w - results[key][:, 2]
+                    b[:, 2] = w - results[key][:, 0]
+                    results[key] = b
+            else:
+                results["img"] = img[::-1].copy()
+                for key in results.get("bbox_fields", []):
+                    b = results[key].copy()
+                    b[:, 1] = h - results[key][:, 3]
+                    b[:, 3] = h - results[key][:, 1]
+                    results[key] = b
+        return results
+
+
+@PIPELINES.register_module()
+class Normalize:
+    def __init__(self, mean, std, to_rgb: bool = True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        # images are loaded RGB already; to_rgb kept for config parity
+
+    def __call__(self, results: dict) -> dict:
+        results["img"] = (results["img"].astype(np.float32) - self.mean) / self.std
+        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std)
+        return results
+
+
+@PIPELINES.register_module()
+class Pad:
+    def __init__(self, size: Optional[Tuple[int, int]] = None,
+                 size_divisor: Optional[int] = None, pad_val: float = 0.0):
+        self.size = size            # (h, w)
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+        assert size is not None or size_divisor is not None
+
+    def __call__(self, results: dict) -> dict:
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.size is not None:
+            th, tw = self.size
+        else:
+            d = self.size_divisor
+            th = int(np.ceil(h / d)) * d
+            tw = int(np.ceil(w / d)) * d
+        pad_h, pad_w = th - h, tw - w
+        assert pad_h >= 0 and pad_w >= 0, \
+            f"image ({h},{w}) larger than pad size ({th},{tw})"
+        if pad_h or pad_w:
+            img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
+                         constant_values=self.pad_val)
+        results["img"] = img
+        results["pad_shape"] = img.shape
+        results["pad_fixed_size"] = self.size
+        results["pad_size_divisor"] = self.size_divisor
+        return results
+
+
+@PIPELINES.register_module()
+class RandomCrop:
+    def __init__(self, crop_size: Tuple[int, int],
+                 allow_negative_crop: bool = False):
+        self.crop_size = crop_size  # (h, w)
+        self.allow_negative_crop = allow_negative_crop
+
+    def __call__(self, results: dict) -> Optional[dict]:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        img = results["img"]
+        h, w = img.shape[:2]
+        ch = min(self.crop_size[0], h)
+        cw = min(self.crop_size[1], w)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        results["img"] = img[y0:y0 + ch, x0:x0 + cw]
+        results["img_shape"] = results["img"].shape
+        off = np.asarray([x0, y0, x0, y0], np.float32)
+        keep_main = None
+        for key in results.get("bbox_fields", []):
+            b = results[key] - off
+            b[:, 0::2] = np.clip(b[:, 0::2], 0, cw)
+            b[:, 1::2] = np.clip(b[:, 1::2], 0, ch)
+            keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+            results[key] = b[keep]
+            if key == "gt_bboxes":
+                keep_main = keep
+                if "gt_labels" in results:
+                    results["gt_labels"] = results["gt_labels"][keep]
+                if "gt_anns_id" in results:
+                    results["gt_anns_id"] = results["gt_anns_id"][keep]
+        if (keep_main is not None and not keep_main.any()
+                and not self.allow_negative_crop):
+            return None
+        return results
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion:
+    """Brightness/contrast/saturation jitter (simplified HSV-free variant of
+    mmdet's; hue shift omitted)."""
+
+    def __init__(self, brightness_delta: int = 32,
+                 contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
+                 hue_delta: int = 18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+
+    def __call__(self, results: dict) -> dict:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        img = results["img"].astype(np.float32)
+        if rng.randint(2):
+            img = img + rng.uniform(-self.brightness_delta,
+                                    self.brightness_delta)
+        if rng.randint(2):
+            img = img * rng.uniform(*self.contrast_range)
+        if rng.randint(2):
+            gray = img.mean(axis=2, keepdims=True)
+            img = gray + (img - gray) * rng.uniform(*self.saturation_range)
+        results["img"] = np.clip(img, 0, 255)
+        return results
+
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    """No-op marker kept for config parity (tensors are built by the
+    collator)."""
+
+    def __call__(self, results: dict) -> dict:
+        return results
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    def __init__(self, keys: Sequence[str] = ("img",)):
+        self.keys = keys
+
+    def __call__(self, results: dict) -> dict:
+        return results
+
+
+@PIPELINES.register_module()
+class Collect:
+    DEFAULT_META = ("filename", "ori_filename", "ori_shape", "img_shape",
+                    "pad_shape", "scale_factor", "flip", "flip_direction",
+                    "img_norm_cfg", "tile_offset")
+
+    def __init__(self, keys: Sequence[str],
+                 meta_keys: Sequence[str] = DEFAULT_META):
+        self.keys = keys
+        self.meta_keys = meta_keys
+
+    def __call__(self, results: dict) -> dict:
+        data = {}
+        img_meta = {k: results[k] for k in self.meta_keys if k in results}
+        data["img_metas"] = img_meta
+        for k in self.keys:
+            if k in results:
+                data[k] = results[k]
+        return data

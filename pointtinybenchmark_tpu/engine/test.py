@@ -1,0 +1,132 @@
+"""Inference engine: plain and tiled (crop-and-merge) evaluation loops.
+
+Parity targets:
+- single_gpu_test (mmdet apis/test.py:16) -> `run_test`
+- tiled inference (fork two_stage.py:196-259 tile_aug_test +
+  rtest_time_aug.py CroppedTilesFlipAug + merge in core/bbox/transforms.py):
+  per-image tile views are batched into ONE device forward (fixed tile
+  shapes), boxes are shifted back by tile_offset on device, and a global
+  class-aware NMS merges across tiles -> `run_tiled_test`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import batched_nms
+from ..utils.logging import get_root_logger
+
+__all__ = ["run_test", "run_tiled_test", "merge_tile_dets"]
+
+
+def _to_result(bboxes: np.ndarray, labels: np.ndarray, valid: np.ndarray,
+               points: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+    keep = valid.astype(bool)
+    out = dict(bboxes=bboxes[keep], labels=labels[keep])
+    if points is not None:
+        out["points"] = points[keep]
+    return out
+
+
+def run_test(model, state, dataset, collator, batch_size: int = 1,
+             rescale: bool = True) -> List[dict]:
+    """Plain (untiled) eval loop; dataset pipeline must yield single views."""
+    logger = get_root_logger()
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+
+    @jax.jit
+    def infer(img, img_shape, scale_factor):
+        return model.apply(variables, img, img_shape,
+                           scale_factor, rescale,
+                           method=model.simple_test)
+
+    results: List[dict] = []
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        samples = [dataset[i] for i in range(start, min(start + batch_size, n))]
+        flat = []
+        for s in samples:
+            flat.append(s["views"][0] if "views" in s else s)
+        batch = collator(flat)
+        dets, pts = infer(jnp.asarray(batch["img"]),
+                          jnp.asarray(batch["img_shape"]),
+                          jnp.asarray(batch["scale_factor"]))
+        db = np.asarray(dets.bboxes)
+        dl = np.asarray(dets.labels)
+        dv = np.asarray(dets.valid)
+        dp = np.asarray(pts) if pts is not None else None
+        for i in range(len(flat)):
+            results.append(_to_result(db[i], dl[i], dv[i],
+                                      dp[i] if dp is not None else None))
+        if (start // batch_size) % 50 == 0:
+            logger.info("test %d/%d", start + len(flat), n)
+    return results
+
+
+def merge_tile_dets(all_boxes: np.ndarray, all_scores: np.ndarray,
+                    all_labels: np.ndarray, all_valid: np.ndarray,
+                    iou_threshold: float, max_per_img: int):
+    """Global class-aware NMS across tiles (fork two_stage.py:244-253)."""
+    boxes = jnp.asarray(all_boxes)
+    scores = jnp.asarray(all_scores)
+    labels = jnp.asarray(all_labels)
+    valid = jnp.asarray(all_valid)
+    keep_idx, num = batched_nms(boxes, scores, labels, iou_threshold,
+                                max_per_img, valid_mask=valid)
+    keep_idx = np.asarray(keep_idx)
+    sel = keep_idx[keep_idx >= 0]
+    return (np.asarray(boxes)[sel], np.asarray(scores)[sel],
+            np.asarray(labels)[sel])
+
+
+def run_tiled_test(model, state, dataset, collator,
+                   merge_iou_threshold: float = 0.5,
+                   max_per_img: int = 1000,
+                   rescale: bool = True) -> List[dict]:
+    """Tiled eval: each sample's views (fixed tile shape) go through one
+    batched forward; results are shifted by tile_offset and globally NMS'd."""
+    logger = get_root_logger()
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+
+    @jax.jit
+    def infer(img, img_shape, scale_factor):
+        return model.apply(variables, img, img_shape, scale_factor, rescale,
+                           method=model.simple_test)
+
+    results: List[dict] = []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        views = sample["views"]
+        batch = collator(views)
+        dets, pts = infer(jnp.asarray(batch["img"]),
+                          jnp.asarray(batch["img_shape"]),
+                          jnp.asarray(batch["scale_factor"]))
+        db = np.asarray(dets.bboxes)      # (V, max, 5)
+        dl = np.asarray(dets.labels)
+        dv = np.asarray(dets.valid)
+        offs = np.stack([np.asarray(v["img_metas"].get(
+            "tile_offset", [0.0, 0.0]), np.float32) for v in views])  # (V, 2)
+        shift = np.concatenate([offs, offs], axis=1)[:, None, :]      # (V,1,4)
+        boxes = db[..., :4] + shift
+        scores = db[..., 4]
+        vb = boxes.reshape(-1, 4)
+        vs = scores.reshape(-1)
+        vl = dl.reshape(-1)
+        vv = dv.reshape(-1)
+        mb, ms, ml = merge_tile_dets(vb, vs, vl, vv, merge_iou_threshold,
+                                     max_per_img)
+        results.append(dict(
+            bboxes=np.concatenate([mb, ms[:, None]], axis=1), labels=ml))
+        if idx % 20 == 0:
+            logger.info("tiled test %d/%d (%d tiles)", idx + 1, len(dataset),
+                        len(views))
+    return results

@@ -1,0 +1,295 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pointtinybenchmark_tpu.data import (COCO, CocoFmtDataset, DataLoader,
+                                         DetCollator, build_dataset,
+                                         generate_corner_dataset, tile_grid)
+from pointtinybenchmark_tpu.data.noise import generate_pseudo_bbox_for_point
+from pointtinybenchmark_tpu.evaluation import (COCOExpandEval,
+                                               LocationEvaluator,
+                                               merge_det_result, nms_numpy)
+
+
+# ------------------------------------------------------------ fixtures
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    """Synthetic dataset: 3 images 128x96 with a few boxes each."""
+    root = tmp_path_factory.mktemp("cocodata")
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(3):
+        fn = f"img{i}.jpg"
+        arr = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / fn)
+        images.append(dict(id=i + 1, file_name=fn, width=128, height=96))
+        for j in range(3):
+            x, y = rng.randint(0, 100), rng.randint(0, 70)
+            w, h = rng.randint(4, 20), rng.randint(4, 20)
+            annotations.append(dict(
+                id=ann_id, image_id=i + 1, category_id=1,
+                bbox=[float(x), float(y), float(w), float(h)],
+                area=float(w * h), iscrowd=0,
+                ignore=1 if (i == 0 and j == 2) else 0))
+            ann_id += 1
+    ds = dict(images=images, annotations=annotations,
+              categories=[dict(id=1, name="person")])
+    ann_file = root / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump(ds, f)
+    return dict(root=str(root), ann_file=str(ann_file), dataset=ds)
+
+
+TRAIN_PIPELINE = [
+    dict(type="LoadImageFromFile"),
+    dict(type="LoadAnnotations", with_bbox=True),
+    dict(type="Resize", scale_factor=[1.0], keep_ratio=True),
+    dict(type="RandomFlip", flip_ratio=0.5),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+         std=[58.395, 57.12, 57.375], to_rgb=True),
+    dict(type="Pad", size_divisor=32),
+    dict(type="DefaultFormatBundle"),
+    dict(type="Collect", keys=["img", "gt_bboxes", "gt_labels",
+                               "gt_bboxes_ignore"]),
+]
+
+
+# ------------------------------------------------------------ COCO api
+def test_coco_api(coco_dir):
+    coco = COCO(coco_dir["ann_file"])
+    assert len(coco.get_img_ids()) == 3
+    assert coco.get_cat_ids(cat_names=["person"]) == [1]
+    anns = coco.load_anns(coco.get_ann_ids(img_ids=[1]))
+    assert len(anns) == 3
+    res = coco.loadRes([dict(image_id=1, category_id=1,
+                             bbox=[1, 2, 3, 4], score=0.9)])
+    assert len(res.anns) == 1
+
+
+# ------------------------------------------------------------ dataset
+def test_cocofmt_dataset_train(coco_dir):
+    ds = CocoFmtDataset(ann_file=coco_dir["ann_file"],
+                        pipeline=TRAIN_PIPELINE,
+                        img_prefix=coco_dir["root"])
+    assert ds.classes == ["person"]  # auto-discovery
+    assert len(ds) == 3
+    sample = ds[0]
+    assert sample["img"].shape == (96, 128, 3)  # 96,128 already /32
+    # image 0 has an ignore ann -> skipped under train_ignore_as_bg
+    assert len(sample["gt_bboxes"]) == 2
+    assert set(sample) >= {"img", "gt_bboxes", "gt_labels", "img_metas"}
+
+
+def test_cocofmt_determinism(coco_dir):
+    ds = CocoFmtDataset(ann_file=coco_dir["ann_file"],
+                        pipeline=TRAIN_PIPELINE,
+                        img_prefix=coco_dir["root"], seed=7)
+    a = ds[1]
+    b = ds[1]
+    np.testing.assert_array_equal(a["img"], b["img"])  # same seed/epoch/idx
+    ds.set_epoch(1)
+    # different epoch may flip differently; just ensure it still works
+    assert ds[1] is not None
+
+
+def test_min_gt_size_filter(coco_dir):
+    dsd = json.loads(json.dumps(coco_dir["dataset"]))
+    for a in dsd["annotations"]:
+        if a["image_id"] == 2:
+            a["bbox"][2] = a["bbox"][3] = 2.0  # all tiny in image 2
+    f = os.path.join(coco_dir["root"], "small.json")
+    with open(f, "w") as fh:
+        json.dump(dsd, fh)
+    ds = CocoFmtDataset(ann_file=f, pipeline=TRAIN_PIPELINE,
+                        img_prefix=coco_dir["root"], min_gt_size=3)
+    assert len(ds) == 2  # image 2 filtered out
+
+
+def test_collator_and_loader(coco_dir):
+    ds = CocoFmtDataset(ann_file=coco_dir["ann_file"],
+                        pipeline=TRAIN_PIPELINE,
+                        img_prefix=coco_dir["root"])
+    collator = DetCollator(pad_shape=(96, 128), max_gt=10)
+    loader = DataLoader(ds, batch_size=2, collator=collator, seed=3)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (2, 96, 128, 3)
+    assert batch["gt_bboxes"].shape == (2, 10, 4)
+    assert batch["gt_valid"].sum() > 0
+    assert batch["gt_labels"].shape == (2, 10)
+    assert batch["img_shape"].shape == (2, 2)
+    # deterministic epoch ordering
+    i1 = loader.sampler.indices(0)
+    i2 = loader.sampler.indices(0)
+    np.testing.assert_array_equal(i1, i2)
+
+
+# ------------------------------------------------------------ tiling
+def test_tile_grid_covers_image():
+    rects = tile_grid(1000, 600, 640, 512, 100, 100)
+    assert all((r - l, b - u) == (640, 512) for l, u, r, b in rects)
+    assert max(r for _, _, r, _ in rects) == 1000
+    assert max(b for _, _, _, b in rects) == 600
+    # full coverage
+    cov = np.zeros((600, 1000), bool)
+    for l, u, r, b in rects:
+        cov[u:b, l:r] = True
+    assert cov.all()
+
+
+def test_tile_grid_small_image():
+    rects = tile_grid(100, 80, 640, 512)
+    assert rects == [(0, 0, 100, 80)]
+
+
+def test_generate_corner_dataset(coco_dir):
+    ds = generate_corner_dataset(coco_dir["ann_file"],
+                                 dict(sub_img_w=64, sub_img_h=64,
+                                      overlap_w=16, overlap_h=16))
+    assert len(ds["images"]) > 3
+    img0 = ds["images"][0]
+    assert "corner" in img0 and "ori_id" in img0
+    for a in ds["annotations"]:
+        img = next(i for i in ds["images"] if i["id"] == a["image_id"])
+        assert a["bbox"][0] >= 0 and a["bbox"][1] >= 0
+        assert a["bbox"][0] + a["bbox"][2] <= img["width"] + 1e-6
+
+
+# ------------------------------------------------------------ noise
+def test_pseudo_bbox_generation(coco_dir):
+    out = generate_pseudo_bbox_for_point(coco_dir["dataset"], (16, 16),
+                                         noise_rg=0.25, seed=1)
+    a = out["annotations"][0]
+    assert a["bbox"][2] == 16 and a["bbox"][3] == 16
+    assert "true_bbox" in a and "point" in a
+    tx, ty, tw, th = a["true_bbox"]
+    px, py = a["point"]
+    assert tx <= px <= tx + tw and ty <= py <= ty + th
+
+
+# ------------------------------------------------------------ eval
+def _perfect_dets(dataset):
+    dets = []
+    for a in dataset["annotations"]:
+        if a.get("ignore"):
+            continue
+        dets.append(dict(image_id=a["image_id"], category_id=a["category_id"],
+                         bbox=list(a["bbox"]), score=0.9))
+    return dets
+
+
+def test_cocoeval_perfect_detections(coco_dir):
+    gt = COCO(coco_dir["ann_file"])
+    dets = _perfect_dets(coco_dir["dataset"])
+    ev = COCOExpandEval(gt, gt.loadRes(dets), "bbox",
+                        ignore_uncertain=True, use_ignore_attr=True,
+                        use_iod_for_ignore=True,
+                        cocofmt_param=dict(evaluate_standard="tiny",
+                                           maxDets=[1000]))
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP50_all"] == pytest.approx(1.0)
+    assert stats["AP25_all"] == pytest.approx(1.0)
+
+
+def test_cocoeval_false_positive_lowers_ap(coco_dir):
+    gt = COCO(coco_dir["ann_file"])
+    dets = _perfect_dets(coco_dir["dataset"])
+    for k in range(30):  # high-scoring FPs in empty space
+        dets.append(dict(image_id=1, category_id=1,
+                         bbox=[110.0, 80.0 - k, 8.0, 8.0], score=0.95))
+    ev = COCOExpandEval(gt, gt.loadRes(dets), "bbox",
+                        cocofmt_param=dict(evaluate_standard="tiny",
+                                           maxDets=[1000]))
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP50_all"] < 1.0
+
+
+def test_cocoeval_iod_ignore_absorbs_dets(coco_dir):
+    """A det inside an ignore region is neither TP nor FP when
+    use_iod_for_ignore is on."""
+    dsd = json.loads(json.dumps(coco_dir["dataset"]))
+    # big ignore region in image 3
+    dsd["annotations"].append(dict(
+        id=999, image_id=3, category_id=1, bbox=[0.0, 0.0, 60.0, 60.0],
+        area=3600.0, iscrowd=0, ignore=1))
+    gt = COCO(dsd)
+    dets = _perfect_dets(coco_dir["dataset"])
+    # small det fully inside the ignore region (IoD = 1, IoU tiny)
+    dets.append(dict(image_id=3, category_id=1, bbox=[5.0, 5.0, 4.0, 4.0],
+                     score=0.99))
+    kw = dict(ignore_uncertain=True, use_ignore_attr=True,
+              cocofmt_param=dict(evaluate_standard="tiny", maxDets=[1000]))
+    ev_iod = COCOExpandEval(gt, gt.loadRes(dets), "bbox",
+                            use_iod_for_ignore=True, **kw)
+    ev_iod.evaluate(); ev_iod.accumulate()
+    ap_iod = ev_iod.summarize()["AP50_all"]
+    ev_no = COCOExpandEval(gt, gt.loadRes(dets), "bbox",
+                           use_iod_for_ignore=False, **kw)
+    ev_no.evaluate(); ev_no.accumulate()
+    ap_no = ev_no.summarize()["AP50_all"]
+    assert ap_iod == pytest.approx(1.0)   # absorbed by ignore region
+    assert ap_no < 1.0                    # counted as FP without IoD
+
+
+def test_cocoeval_tiny_size_buckets(coco_dir):
+    gt = COCO(coco_dir["ann_file"])
+    dets = _perfect_dets(coco_dir["dataset"])
+    ev = COCOExpandEval(gt, gt.loadRes(dets), "bbox",
+                        cocofmt_param=dict(evaluate_standard="tiny"))
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert "AP50_tiny" in stats and "AP50_tiny1" in stats \
+        and "AP50_small" in stats
+
+
+def test_location_evaluator(coco_dir):
+    gt = COCO(coco_dir["ann_file"])
+    dets = []
+    for a in coco_dir["dataset"]["annotations"]:
+        if a.get("ignore"):
+            continue
+        x, y, w, h = a["bbox"]
+        dets.append(dict(image_id=a["image_id"], category_id=a["category_id"],
+                         bbox=[x, y, w, h], score=0.9,
+                         point=[x + w / 2, y + h / 2]))
+    ev = LocationEvaluator(location_param=dict(matchThs=[0.5, 1.0, 2.0],
+                                               maxDets=[100]))
+    stats = ev(dets, gt)
+    assert stats["AP"] == pytest.approx(1.0)
+    # shift all points far away -> AP 0
+    far = [dict(d, point=[d["point"][0] + 500, d["point"][1] + 500])
+           for d in dets]
+    stats = ev(far, gt)
+    assert stats["AP"] == pytest.approx(0.0)
+
+
+def test_nms_numpy_and_merge(coco_dir):
+    boxes = np.asarray([[0, 0, 10, 10], [1, 1, 10, 10], [50, 50, 60, 60.]])
+    keep = nms_numpy(boxes, np.asarray([0.9, 0.8, 0.7]), 0.5)
+    assert keep == [0, 2]
+
+    corner = generate_corner_dataset(coco_dir["ann_file"],
+                                     dict(sub_img_w=64, sub_img_h=64,
+                                          overlap_w=16, overlap_h=16))
+    corner_coco = COCO(corner)
+    # perfect per-tile detections from the corner annotations
+    dets = [dict(image_id=a["image_id"], category_id=a["category_id"],
+                 bbox=list(a["bbox"]), score=0.9)
+            for a in corner["annotations"] if not a.get("ignore")]
+    merged, gt_full = merge_det_result(dets, corner_coco,
+                                       coco_dir["ann_file"], nms_th=0.5)
+    ev = COCOExpandEval(gt_full, gt_full.loadRes(merged), "bbox",
+                        use_ignore_attr=True, use_iod_for_ignore=True,
+                        cocofmt_param=dict(evaluate_standard="tiny",
+                                           maxDets=[1000]))
+    ev.evaluate(); ev.accumulate()
+    stats = ev.summarize()
+    assert stats["AP50_all"] > 0.75  # tile-clipped boxes mostly recovered
