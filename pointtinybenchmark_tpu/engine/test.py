@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..ops.nms import batched_nms
 from ..utils.logging import get_root_logger
 
-__all__ = ["run_test", "run_tiled_test", "merge_tile_dets"]
+__all__ = ["run_test", "run_tiled_test", "run_refine_test", "merge_tile_dets"]
 
 
 def _to_result(bboxes: np.ndarray, labels: np.ndarray, valid: np.ndarray,
@@ -67,6 +67,60 @@ def run_test(model, state, dataset, collator, batch_size: int = 1,
                                       dp[i] if dp is not None else None))
         if (start // batch_size) % 50 == 0:
             logger.info("test %d/%d", start + len(flat), n)
+    return results
+
+
+def run_refine_test(model, state, dataset, collator, batch_size: int = 1,
+                    pseudo_wh=(16, 16), rescale: bool = True) -> List[dict]:
+    """CPR annotation-refinement loop: each image's gt points are refined;
+    output rows are pseudo boxes + score + ann_id (+ point), joinable back
+    to annotations by tools/result2ann.py (reference eval flow SURVEY §3.2)."""
+    logger = get_root_logger()
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+
+    @jax.jit
+    def infer(img, gt_bboxes, gt_labels, gt_valid, img_shape):
+        batch = dict(gt_bboxes=gt_bboxes, gt_labels=gt_labels,
+                     gt_valid=gt_valid, img_shape=img_shape)
+        return model.apply(variables, img, batch, pseudo_wh,
+                           method=model.refine_test)
+
+    results: List[dict] = []
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        samples = []
+        for i in range(start, min(start + batch_size, n)):
+            s = dataset[i]
+            samples.append(s["views"][0] if "views" in s else s)
+        batch = collator(samples)
+        pts, scores, boxes, not_refine = infer(
+            jnp.asarray(batch["img"]), jnp.asarray(batch["gt_bboxes"]),
+            jnp.asarray(batch["gt_labels"]), jnp.asarray(batch["gt_valid"]),
+            jnp.asarray(batch["img_shape"]))
+        pts = np.asarray(pts)
+        scores = np.asarray(scores)
+        boxes = np.asarray(boxes)
+        valid = np.asarray(batch["gt_valid"])
+        labels = np.asarray(batch["gt_labels"])
+        for bi in range(len(samples)):
+            keep = valid[bi]
+            sf = np.asarray(batch["scale_factor"][bi])
+            bb = boxes[bi][keep]
+            pp = pts[bi][keep]
+            if rescale:
+                bb = bb / sf
+                pp = pp / sf[:2]
+            res = dict(
+                bboxes=np.concatenate([bb, scores[bi][keep][:, None]], 1),
+                labels=labels[bi][keep],
+                points=np.concatenate([pp, scores[bi][keep][:, None]], 1))
+            if "gt_anns_id" in batch:
+                res["anns_id"] = np.asarray(batch["gt_anns_id"][bi])[keep]
+            results.append(res)
+        if (start // batch_size) % 50 == 0:
+            logger.info("refine test %d/%d", start + len(samples), n)
     return results
 
 

@@ -71,7 +71,56 @@ class SingleStageDetector(nn.Module):
 @DETECTORS.register_module()
 class BasicLocator(SingleStageDetector):
     """Point-localization shell (CPR / P2P heads). The fork version forwards
-    gt_true_bboxes into the head's forward_train (locator.py:20-32); here the
-    padded batch dict flows through unchanged, so point heads read whatever
-    gt_* keys they need."""
-    pass
+    gt_true_bboxes into the head's forward_train (locator.py:7-32); here the
+    padded batch dict flows through, so point heads read whatever gt_* keys
+    they need. Heads that sample features at gt points inside the network
+    (CPR) advertise `needs_gt_in_forward` and get the batch in __call__.
+    """
+
+    def _head_batch(self, img: jnp.ndarray, batch: Dict[str, Any]) -> Dict[str, Any]:
+        gt_bboxes = batch["gt_bboxes"]
+        centers = (gt_bboxes[..., :2] + gt_bboxes[..., 2:]) / 2
+        hb = dict(batch)
+        hb["gt_points"] = centers[:, :, None, :]   # (B, G, R=1, 2)
+        hb["pad_shape"] = (img.shape[1], img.shape[2])
+        return hb
+
+    def _dummy_batch(self, img: jnp.ndarray) -> Dict[str, Any]:
+        b = img.shape[0]
+        return dict(
+            gt_bboxes=jnp.zeros((b, 1, 4), jnp.float32),
+            gt_labels=jnp.zeros((b, 1), jnp.int32),
+            gt_valid=jnp.zeros((b, 1), bool),
+            img_shape=jnp.tile(
+                jnp.asarray([[img.shape[1], img.shape[2]]], jnp.int32), (b, 1)),
+        )
+
+    def __call__(self, img: jnp.ndarray, batch: Optional[Dict[str, Any]] = None,
+                 train: bool = False, mode: str = "train"):
+        feats = self.extract_feat(img, train=train)
+        head = self.bbox_head_m
+        if getattr(head, "needs_gt_in_forward", False):
+            hb = self._head_batch(img, batch if batch is not None
+                                  else self._dummy_batch(img))
+            return head(feats, hb, train=train, mode=mode)
+        return head(feats, train=train)
+
+    def forward_train(self, img: jnp.ndarray, batch: Dict[str, Any]):
+        head = self.bbox_head_m
+        if getattr(head, "needs_gt_in_forward", False):
+            hb = self._head_batch(img, batch)
+            outputs = self(img, batch, train=True, mode="train")
+            rng = self.make_rng("sampler") if self.has_rng("sampler") else None
+            return head.loss(outputs, hb, rng=rng)
+        return super().forward_train(img, batch)
+
+    def refine_test(self, img: jnp.ndarray, batch: Dict[str, Any],
+                    pseudo_wh=(16, 16)):
+        """CPR annotation-refinement inference: refined points + scores +
+        pseudo boxes (reference get_bboxes :1231-1283)."""
+        head = self.bbox_head_m
+        hb = self._head_batch(img, batch)
+        outputs = self(img, batch, train=False, mode="refine")
+        refine_pts, scores, not_refine = head.refine(outputs, hb)
+        bboxes = head.center_to_pseudo_bbox(refine_pts, pseudo_wh)
+        return refine_pts, scores, bboxes, not_refine

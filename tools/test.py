@@ -29,6 +29,7 @@ def main():
     from pointtinybenchmark_tpu.data import DetCollator, build_dataset
     from pointtinybenchmark_tpu.engine import (load_checkpoint, run_test,
                                                run_tiled_test)
+    from pointtinybenchmark_tpu.engine.test import run_refine_test
     from pointtinybenchmark_tpu.models import build_detector
     from pointtinybenchmark_tpu.utils import (Config, get_root_logger,
                                               parse_cfg_option)
@@ -63,7 +64,12 @@ def main():
         size_divisor=int(loader_cfg.get("size_divisor", 32)),
         max_gt=int(loader_cfg.get("max_gt", 200)))
 
-    if tiled:
+    is_refine_head = dict(cfg.model)["bbox_head"]["type"] == "CPRHead"
+    if is_refine_head:
+        pseudo_wh = tuple((cfg.get("test_cfg") or {}).get("pseudo_wh", (16, 16)))
+        results = run_refine_test(model, state, dataset, collator,
+                                  pseudo_wh=pseudo_wh)
+    elif tiled:
         results = run_tiled_test(model, state, dataset, collator)
     else:
         results = run_test(model, state, dataset, collator)

@@ -77,10 +77,15 @@ def main():
             size_divisor=int(loader_cfg.get("size_divisor", 32)),
             max_gt=int(loader_cfg.get("max_gt", 200)))
 
+        is_refine_head = dict(cfg.model)["bbox_head"]["type"] == "CPRHead"
+
         def eval_fn(state, _ds=val_dataset, _c=collator, _kw=eval_kwargs):
             import jax
+            from pointtinybenchmark_tpu.engine.test import run_refine_test
             host_state = jax.device_get(state)
-            if tiled:
+            if is_refine_head:
+                results = run_refine_test(model, host_state, _ds, _c)
+            elif tiled:
                 results = run_tiled_test(model, host_state, _ds, _c)
             else:
                 results = run_test(model, host_state, _ds, _c)
