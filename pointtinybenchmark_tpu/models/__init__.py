@@ -2,14 +2,25 @@ from . import losses  # noqa: F401 — register losses
 from .backbones.resnet import ResNet
 from .builder import (build_backbone, build_detector, build_head, build_model,
                       build_neck)
+from .dense_heads.anchor_head import AnchorHead
 from .dense_heads.cpr_head import CPRHead
+from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.p2p_head import P2PHead
+from .dense_heads.retina_head import RetinaHead
 from .detectors.single_stage import BasicLocator, SingleStageDetector
 from .necks.fpn import FPN
 
 __all__ = [
-    "ResNet", "FPN", "P2PHead", "CPRHead", "SingleStageDetector",
-    "BasicLocator",
+    "ResNet", "FPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
+    "FCOSHead", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
+
+from .dense_heads.rpn_head import RPNHead  # noqa: E402
+from .detectors.two_stage import FasterRCNN, TwoStageDetector  # noqa: E402
+from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402
+from .roi_heads.standard_roi_head import StandardRoIHead  # noqa: E402
+
+__all__ += ["RPNHead", "TwoStageDetector", "FasterRCNN",
+            "Shared2FCBBoxHead", "StandardRoIHead"]

@@ -1,0 +1,116 @@
+"""TwoStageDetector — Faster R-CNN family.
+
+Parity target: mmdet models/detectors/two_stage.py (fork-modified: adds
+tile_aug_test :196-259 — the tiled path lives in engine/test.py here) and
+FasterRCNN (models/detectors/faster_rcnn.py).
+
+TPU design: the whole train step (backbone -> RPN loss -> on-device proposal
+NMS -> RoI sampling -> RoI loss) is one traced function; proposals flow
+through lax.stop_gradient instead of the reference's .detach().
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.registry import DETECTORS
+from ..builder import build_backbone, build_head, build_neck
+
+__all__ = ["TwoStageDetector", "FasterRCNN"]
+
+
+@DETECTORS.register_module()
+class TwoStageDetector(nn.Module):
+    backbone: dict
+    rpn_head: dict
+    roi_head: dict
+    neck: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+
+    def setup(self):
+        self.backbone_m = build_backbone(dict(self.backbone))
+        self.neck_m = build_neck(dict(self.neck)) if self.neck else None
+        rpn_cfg = dict(self.rpn_head)
+        rpn_cfg.setdefault("train_cfg", (self.train_cfg or {}).get("rpn"))
+        rpn_cfg.setdefault("test_cfg", (self.test_cfg or {}).get("rpn"))
+        self.rpn_head_m = build_head(rpn_cfg)
+        roi_cfg = dict(self.roi_head)
+        roi_cfg.setdefault("train_cfg", (self.train_cfg or {}).get("rcnn"))
+        roi_cfg.setdefault("test_cfg", (self.test_cfg or {}).get("rcnn"))
+        self.roi_head_m = build_head(roi_cfg)
+
+    def extract_feat(self, img: jnp.ndarray, train: bool = False):
+        x = self.backbone_m(img, train=train)
+        if self.neck_m is not None:
+            x = self.neck_m(x)
+        return x
+
+    def __call__(self, img: jnp.ndarray, train: bool = False):
+        """Full network forward (also initializes every submodule's params):
+        backbone -> RPN -> proposals -> RoI head outputs."""
+        feats = self.extract_feat(img, train=train)
+        rpn_outs = self.rpn_head_m(feats, train=train)
+        b = img.shape[0]
+        img_shapes = jnp.tile(
+            jnp.asarray([[img.shape[1], img.shape[2]]], jnp.int32), (b, 1))
+        proposal_cfg = dict((self.test_cfg or {}).get(
+            "rpn", dict(nms_pre=1000, max_per_img=1000,
+                        nms=dict(iou_threshold=0.7), min_bbox_size=0)))
+        proposals, _, prop_valid = self.rpn_head_m.get_proposals(
+            *rpn_outs, img_shapes, (img.shape[1], img.shape[2]), proposal_cfg)
+        dets = self.roi_head_m.simple_test(feats, proposals, prop_valid,
+                                           img_shapes)
+        return rpn_outs, dets
+
+    def forward_train(self, img: jnp.ndarray, batch: Dict[str, Any]):
+        feats = self.extract_feat(img, train=True)
+        batch = dict(batch)
+        batch["pad_shape"] = (img.shape[1], img.shape[2])
+
+        rpn_outs = self.rpn_head_m(feats, train=True)
+        # RPN trains class-agnostic: every valid gt is class 0
+        rpn_batch = dict(batch)
+        rpn_batch["gt_labels"] = jnp.zeros_like(batch["gt_labels"])
+        rpn_losses = self.rpn_head_m.loss(*rpn_outs, rpn_batch)
+        rpn_losses = {f"loss_rpn_{k.split('loss_')[-1]}" if k.startswith("loss")
+                      else f"rpn_{k}": v for k, v in rpn_losses.items()}
+
+        proposal_cfg = dict((self.train_cfg or {}).get(
+            "rpn_proposal", dict(nms_pre=2000, max_per_img=1000,
+                                 nms=dict(iou_threshold=0.7),
+                                 min_bbox_size=0)))
+        proposals, _, prop_valid = self.rpn_head_m.get_proposals(
+            *[[jax.lax.stop_gradient(o) for o in outs] for outs in rpn_outs],
+            batch["img_shape"], batch["pad_shape"], proposal_cfg)
+
+        rng = self.make_rng("sampler") if self.has_rng("sampler") else \
+            jax.random.PRNGKey(0)
+        roi_losses = self.roi_head_m.forward_train(
+            feats, proposals, prop_valid, batch, rng)
+        roi_losses = {k if k.startswith("loss") else f"rcnn_{k}": v
+                      for k, v in roi_losses.items()}
+        return {**rpn_losses, **roi_losses}
+
+    def simple_test(self, img: jnp.ndarray, img_shapes,
+                    scale_factors=None, rescale: bool = False):
+        feats = self.extract_feat(img, train=False)
+        pad_shape = (img.shape[1], img.shape[2])
+        rpn_outs = self.rpn_head_m(feats, train=False)
+        proposal_cfg = dict((self.test_cfg or {}).get(
+            "rpn", dict(nms_pre=1000, max_per_img=1000,
+                        nms=dict(iou_threshold=0.7), min_bbox_size=0)))
+        proposals, _, prop_valid = self.rpn_head_m.get_proposals(
+            *rpn_outs, img_shapes, pad_shape, proposal_cfg)
+        dets = self.roi_head_m.simple_test(feats, proposals, prop_valid,
+                                           img_shapes, scale_factors, rescale)
+        return dets, None
+
+
+@DETECTORS.register_module()
+class FasterRCNN(TwoStageDetector):
+    pass

@@ -1,0 +1,169 @@
+"""Forward/backward smoke for the detector baselines (reference test
+strategy: tests/test_models/test_forward.py `_demo_mm_inputs` pattern)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pointtinybenchmark_tpu.models import build_detector
+
+
+def _demo_batch(b=2, g=5, num_classes=2, seed=1):
+    rng = np.random.RandomState(seed)
+    bb = rng.rand(b, g, 4).astype(np.float32) * 30
+    bb[..., 2:] = bb[..., :2] + 6 + rng.rand(b, g, 2).astype(np.float32) * 20
+    return dict(gt_bboxes=jnp.asarray(bb),
+                gt_labels=jnp.asarray(rng.randint(0, num_classes, (b, g)),
+                                      jnp.int32),
+                gt_valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]], bool),
+                img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+
+
+def _retina():
+    return build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="RetinaHead", num_classes=2, in_channels=16,
+                 feat_channels=16, stacked_convs=1,
+                 anchor_generator=dict(type="AnchorGenerator",
+                                       octave_base_scale=2,
+                                       scales_per_octave=3,
+                                       ratios=[0.5, 1.0, 2.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                               alpha=0.25, loss_weight=1.0),
+                 loss_bbox=dict(type="L1Loss", loss_weight=1.0))),
+        dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                           neg_iou_thr=0.4, min_pos_iou=0,
+                           ignore_iof_thr=-1),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=50))
+
+
+def _fcos():
+    return build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0, add_extra_convs=True,
+                       relu_before_extra_convs=True, num_outs=5),
+             bbox_head=dict(
+                 type="FCOSHead", num_classes=2, in_channels=16,
+                 feat_channels=16, stacked_convs=1,
+                 strides=[4, 8, 16, 32, 64],
+                 regress_ranges=((-1, 16), (16, 32), (32, 64), (64, 128),
+                                 (128, 1e8)),
+                 norm_cfg=dict(type="GN", num_groups=4),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                               alpha=0.25, loss_weight=1.0),
+                 loss_bbox=dict(type="IoULoss", loss_weight=1.0))),
+        None,
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=50))
+
+
+def _frcnn():
+    return build_detector(
+        dict(type="FasterRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0, num_outs=5),
+             rpn_head=dict(
+                 type="RPNHead", num_classes=1, in_channels=16,
+                 feat_channels=16,
+                 anchor_generator=dict(type="AnchorGenerator", scales=[2],
+                                       ratios=[0.5, 1.0, 2.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                               loss_weight=1.0),
+                 loss_bbox=dict(type="L1Loss", loss_weight=1.0)),
+             roi_head=dict(
+                 type="StandardRoIHead",
+                 bbox_roi_extractor=dict(
+                     roi_layer=dict(type="RoIAlign", output_size=7,
+                                    sampling_ratio=0),
+                     out_channels=16, featmap_strides=[4, 8, 16, 32]),
+                 bbox_head=dict(
+                     type="Shared2FCBBoxHead", num_classes=2, in_channels=16,
+                     fc_out_channels=64, roi_feat_size=7,
+                     bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                     target_stds=[0.1, 0.1, 0.2, 0.2]),
+                     loss_cls=dict(type="CrossEntropyLoss", loss_weight=1.0),
+                     loss_bbox=dict(type="L1Loss", loss_weight=1.0)))),
+        dict(rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                    neg_iou_thr=0.3, min_pos_iou=0.3,
+                                    match_low_quality=True,
+                                    ignore_iof_thr=-1),
+                      sampler=dict(type="RandomSampler", num=256,
+                                   pos_fraction=0.5),
+                      allowed_border=-1, pos_weight=-1),
+             rpn_proposal=dict(nms_pre=200, max_per_img=100,
+                               nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0.5,
+                                     match_low_quality=False,
+                                     ignore_iof_thr=-1),
+                       sampler=dict(type="RandomSampler", num=64,
+                                    pos_fraction=0.25,
+                                    add_gt_as_proposals=True),
+                       pos_weight=-1)),
+        dict(rpn=dict(nms_pre=200, max_per_img=100,
+                      nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                       max_per_img=30)))
+
+
+@pytest.mark.parametrize("builder,needs_rng", [
+    (_retina, False), (_fcos, False), (_frcnn, True)])
+def test_detector_forward_backward(builder, needs_rng):
+    model = builder()
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    rngs = {"sampler": jax.random.PRNGKey(3)} if needs_rng else {}
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"], rngs=rngs)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(losses.get("num_pos", losses.get("rpn_num_pos"))) > 0
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"], rngs=rngs)
+        return sum(x for k, x in l.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables)
+    gn = sum(float(jnp.abs(x).sum())
+             for x in jax.tree_util.tree_leaves(g["params"]))
+    assert np.isfinite(gn) and gn > 0
+
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape[0] == 2
+    assert dets.bboxes.shape[2] == 5
+
+
+def test_retina_adap_anchor_scales():
+    """Adap recipe: octave_base_scale=2 makes the smallest anchor 8px at
+    stride 4 (vs 32px stock) — the core tiny-object change."""
+    from pointtinybenchmark_tpu.core import AnchorGenerator
+    adap = AnchorGenerator(octave_base_scale=2, scales_per_octave=3,
+                           ratios=[1.0], strides=[4])
+    stock = AnchorGenerator(octave_base_scale=4, scales_per_octave=3,
+                            ratios=[1.0], strides=[8])
+    a = np.asarray(adap.base_anchors[0])
+    s = np.asarray(stock.base_anchors[0])
+    assert (a[0, 2] - a[0, 0]) == pytest.approx(8.0)
+    assert (s[0, 2] - s[0, 0]) == pytest.approx(32.0)
