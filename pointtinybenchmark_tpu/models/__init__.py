@@ -17,10 +17,13 @@ __all__ = [
     "build_detector",
 ]
 
+from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
+from .detectors.single_stage import RepPointsDetector  # noqa: E402
 from .detectors.two_stage import FasterRCNN, TwoStageDetector  # noqa: E402
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402
 from .roi_heads.standard_roi_head import StandardRoIHead  # noqa: E402
 
-__all__ += ["RPNHead", "TwoStageDetector", "FasterRCNN",
+__all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
+            "TwoStageDetector", "FasterRCNN",
             "Shared2FCBBoxHead", "StandardRoIHead"]

@@ -124,3 +124,9 @@ class BasicLocator(SingleStageDetector):
         refine_pts, scores, not_refine = head.refine(outputs, hb)
         bboxes = head.center_to_pseudo_bbox(refine_pts, pseudo_wh)
         return refine_pts, scores, bboxes, not_refine
+
+
+@DETECTORS.register_module()
+class RepPointsDetector(SingleStageDetector):
+    """RepPoints single-stage shell (mmdet models/detectors/reppoints_detector.py)."""
+    pass
