@@ -1,6 +1,8 @@
 from . import scale_match, tiling  # noqa: F401 — register pipeline modules
 from .coco import COCO
 from .cocofmt import CocoFmtDataset
+from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
+                               RepeatDataset)
 from .loader import DataLoader, DetCollator, EpochSampler, prefetch_to_device
 from .transforms import (Collect, Compose, DefaultFormatBundle,
                          LoadAnnotations, LoadImageFromFile, Normalize, Pad,
@@ -21,5 +23,6 @@ __all__ = [
     "Normalize", "Pad", "RandomCrop", "Collect", "DefaultFormatBundle",
     "DataLoader", "DetCollator", "EpochSampler", "prefetch_to_device",
     "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
-    "generate_pseudo_bbox_for_point",
+    "generate_pseudo_bbox_for_point", "ConcatDataset", "RepeatDataset",
+    "ClassBalancedDataset",
 ]

@@ -179,7 +179,12 @@ def train_detector(model, dataset, cfg, work_dir: str,
                 logger.info("epoch %d iter %d/%d %s %.3fs/iter", epoch + 1,
                             it + 1, iters_per_epoch,
                             {k: round(v, 4) for k, v in vals.items()}, dt)
-                history.append(dict(epoch=epoch + 1, iter=it + 1, **vals))
+                entry = dict(epoch=epoch + 1, iter=it + 1, iter_time=dt,
+                             **vals)
+                history.append(entry)
+                with open(osp.join(work_dir, "log.json"), "a") as f:
+                    import json as _json
+                    f.write(_json.dumps(entry) + "\n")
                 if stop_while_nan and not np.isfinite(vals.get("loss", 0.0)):
                     # reference LogNanStopHook exits 254 (apis/train.py:203)
                     logger.error("loss is NaN — stopping (exit 254)")

@@ -1,0 +1,159 @@
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+TOOLS = osp.join(osp.dirname(__file__), "..", "tools")
+
+
+@pytest.fixture(scope="module")
+def tiny_workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("apiws")
+    data = root / "data"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations, ann_id = [], [], 1
+    for i in range(3):
+        fn = f"img{i}.jpg"
+        Image.fromarray((rng.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+            data / fn)
+        images.append(dict(id=i + 1, file_name=fn, width=96, height=64))
+        for _ in range(2):
+            x, y = rng.randint(0, 70), rng.randint(0, 40)
+            annotations.append(dict(id=ann_id, image_id=i + 1, category_id=1,
+                                    bbox=[float(x), float(y), 10.0, 10.0],
+                                    area=100.0, iscrowd=0))
+            ann_id += 1
+    with open(data / "ann.json", "w") as f:
+        json.dump(dict(images=images, annotations=annotations,
+                       categories=[dict(id=1, name="person")]), f)
+    cfg = root / "cfg.py"
+    cfg.write_text(f"""
+img_norm = dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375])
+train_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="LoadAnnotations", with_bbox=True),
+    dict(type="Resize", scale_factor=[1.0], keep_ratio=True),
+    dict(type="Normalize", **img_norm),
+    dict(type="Pad", size_divisor=32),
+    dict(type="Collect", keys=["img", "gt_bboxes", "gt_labels"]),
+]
+test_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="NoAug", transforms=[
+        dict(type="Resize", keep_ratio=True),
+        dict(type="Normalize", **img_norm),
+        dict(type="Pad", size_divisor=32),
+        dict(type="Collect", keys=["img"]),
+    ]),
+]
+data = dict(
+    samples_per_gpu=1,
+    train=dict(type="CocoFmtDataset", ann_file=r"{data / 'ann.json'}",
+               img_prefix=r"{data}", pipeline=train_pipeline),
+    test=dict(type="CocoFmtDataset", ann_file=r"{data / 'ann.json'}",
+              img_prefix=r"{data}", pipeline=test_pipeline),
+)
+loader = dict(pad_shape=(64, 96), max_gt=10)
+model = dict(
+    type="SingleStageDetector",
+    backbone=dict(type="ResNet", depth=18, base_channels=8),
+    neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+              start_level=0, add_extra_convs="on_input", num_outs=5),
+    bbox_head=dict(type="RetinaHead", num_classes=1, in_channels=16,
+                   feat_channels=16, stacked_convs=1,
+                   anchor_generator=dict(type="AnchorGenerator",
+                                         octave_base_scale=2,
+                                         scales_per_octave=3,
+                                         ratios=[1.0],
+                                         strides=[4, 8, 16, 32, 64]),
+                   bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                   target_stds=[1, 1, 1, 1]),
+                   loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                                 gamma=2.0, alpha=0.25, loss_weight=1.0),
+                   loss_bbox=dict(type="L1Loss", loss_weight=1.0)))
+train_cfg = dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                               neg_iou_thr=0.4, min_pos_iou=0,
+                               ignore_iof_thr=-1),
+                 allowed_border=-1, pos_weight=-1)
+test_cfg = dict(nms_pre=100, score_thr=0.01,
+                nms=dict(type="nms", iou_threshold=0.5), max_per_img=20)
+optimizer = dict(type="Adam", lr=1e-3)
+""")
+    return dict(root=str(root), cfg=str(cfg), img=str(data / "img0.jpg"))
+
+
+def test_inference_api(tiny_workspace):
+    from pointtinybenchmark_tpu.apis import inference_detector, init_detector
+    handle = init_detector(tiny_workspace["cfg"])  # random weights
+    result = inference_detector(handle, tiny_workspace["img"])
+    assert "bboxes" in result and "labels" in result
+    assert result["bboxes"].ndim == 2
+    # list input
+    results = inference_detector(handle, [tiny_workspace["img"]] * 2)
+    assert len(results) == 2
+
+
+def test_show_result(tiny_workspace, tmp_path):
+    from pointtinybenchmark_tpu.visualization import imshow_det_bboxes
+    img = np.zeros((50, 60, 3), np.uint8)
+    out = imshow_det_bboxes(
+        img, np.asarray([[5, 5, 20, 20, 0.9]]), np.asarray([0]),
+        class_names=["person"], out_file=str(tmp_path / "v.png"))
+    assert out.shape == (50, 60, 3)
+    assert (tmp_path / "v.png").exists()
+    assert out.sum() > 0  # something was drawn
+
+
+def test_dataset_wrappers(tiny_workspace):
+    from pointtinybenchmark_tpu.data import (ClassBalancedDataset,
+                                             CocoFmtDataset, ConcatDataset,
+                                             RepeatDataset)
+    from pointtinybenchmark_tpu.utils import Config
+    cfg = Config.fromfile(tiny_workspace["cfg"])
+    base = CocoFmtDataset(**{k: v for k, v in dict(cfg.data["train"]).items()
+                             if k != "type"})
+    rep = RepeatDataset(base, times=3)
+    assert len(rep) == 3 * len(base)
+    assert rep[len(base)] is not None
+    cat = ConcatDataset([base, base])
+    assert len(cat) == 2 * len(base)
+    assert cat[len(base) + 1] is not None
+    cb = ClassBalancedDataset(base, oversample_thr=0.5)
+    assert len(cb) >= len(base)
+
+
+def test_profiling_helpers(capsys):
+    from pointtinybenchmark_tpu.utils.profiling import profile_time
+    import jax.numpy as jnp
+    with profile_time("test", "op"):
+        _ = jnp.ones((4,)).sum()
+    out = capsys.readouterr().out
+    assert "[profile] test.op" in out
+
+
+def test_analyze_logs(tmp_path):
+    sys.path.insert(0, osp.join(TOOLS, "analysis_tools"))
+    import importlib
+    mod = importlib.import_module("analyze_logs")
+    log = tmp_path / "log.json"
+    with open(log, "w") as f:
+        for i in range(5):
+            f.write(json.dumps(dict(epoch=1, iter=i, loss=1.0 / (i + 1),
+                                    iter_time=0.1)) + "\n")
+    entries = mod.load_log(str(log))
+    assert len(entries) == 5
+    old_argv = sys.argv
+    try:
+        sys.argv = ["analyze_logs.py", "cal_train_time", str(log)]
+        mod.main()
+        sys.argv = ["analyze_logs.py", "plot_curve", str(log),
+                    "--keys", "loss", "--out", str(tmp_path / "c.png")]
+        mod.main()
+        assert (tmp_path / "c.png").exists()
+    finally:
+        sys.argv = old_argv
