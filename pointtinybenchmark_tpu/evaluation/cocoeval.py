@@ -185,6 +185,31 @@ class COCOExpandEval:
         dt_ig = np.zeros((T, D))
         crowd_like = np.asarray(
             [bool(g["_crowd_like"] or g.get("iscrowd", 0)) for g in gt])
+
+        # fast path: native C++ greedy matching (same semantics; see
+        # native/cocoeval_kernel.cpp). Falls back to the Python loop below.
+        if D and G:
+            from .native import greedy_match_native
+            thrs = np.asarray(self.params.iouThrs, float)
+            iod_thrs = np.asarray([self.iod_th_of_iou_f(t) for t in thrs])
+            native = greedy_match_native(
+                np.ascontiguousarray(ious), gt_ig.astype(np.uint8),
+                crowd_like.astype(np.uint8), thrs, iod_thrs,
+                self.use_iod_for_ignore)
+        else:
+            native = None
+        if native is not None:
+            dtm_idx, gtm_idx, dig = native
+            gt_ids = np.asarray([g["id"] for g in gt], np.int64)
+            dt_ids = np.asarray([d["id"] for d in dt], np.int64)
+            dtm = np.where(dtm_idx > 0,
+                           gt_ids[np.clip(dtm_idx - 1, 0, G - 1)], 0)
+            gtm = np.where(gtm_idx > 0,
+                           dt_ids[np.clip(gtm_idx - 1, 0, max(D - 1, 0))], 0)
+            dt_ig = dig.astype(float)
+            return self._finish_eval_img(img_id, cat_id, a_rng, max_det,
+                                         dt, gt, dtm, gtm, gt_ig, dt_ig)
+
         for tind, t in enumerate(self.params.iouThrs):
             iod_t = float(self.iod_th_of_iou_f(t))
             for dind in range(D):
@@ -224,12 +249,19 @@ class COCOExpandEval:
                 dt_ig[tind, dind] = gt_ig[m]
                 dtm[tind, dind] = gt[m]["id"]
                 gtm[tind, m] = dt[dind]["id"]
+        return self._finish_eval_img(img_id, cat_id, a_rng, max_det, dt, gt,
+                                     dtm, gtm, gt_ig, dt_ig)
+
+    def _finish_eval_img(self, img_id, cat_id, a_rng, max_det, dt, gt,
+                         dtm, gtm, gt_ig, dt_ig):
+        T = dtm.shape[0]
         # dets outside the area range that matched nothing are ignored
         a = np.asarray([d["bbox"][2] * d["bbox"][3] < a_rng[0]
                         or d["bbox"][2] * d["bbox"][3] > a_rng[1]
                         for d in dt])
-        dt_ig = np.logical_or(dt_ig, np.logical_and(
-            dtm == 0, np.tile(a, (T, 1))))
+        if len(dt):
+            dt_ig = np.logical_or(dt_ig, np.logical_and(
+                dtm == 0, np.tile(a, (T, 1))))
         return {
             "image_id": img_id, "category_id": cat_id, "aRng": a_rng,
             "maxDet": max_det,
