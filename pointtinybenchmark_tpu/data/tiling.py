@@ -191,6 +191,47 @@ class CroppedTilesFlipAug:
 
 
 @PIPELINES.register_module()
+class MultiScaleFlipAug:
+    """Stock multi-scale / flip TTA wrapper
+    (mmdet datasets/pipelines/test_time_aug.py parity): one view per
+    (scale x flip)."""
+
+    def __init__(self, transforms: Sequence[dict], img_scale=None,
+                 scale_factor=None, flip: bool = False,
+                 flip_direction="horizontal"):
+        self.transforms = Compose(transforms)
+        scales = img_scale if img_scale is not None else scale_factor
+        if not isinstance(scales, list):
+            scales = [scales]
+        self.scales = scales
+        self.use_ratio = img_scale is None
+        self.flip = flip
+        self.flip_direction = (flip_direction if isinstance(flip_direction,
+                                                            list)
+                               else [flip_direction])
+
+    def __call__(self, results: dict) -> dict:
+        views = []
+        flip_args = [(False, "horizontal")]
+        if self.flip:
+            flip_args += [(True, d) for d in self.flip_direction]
+        for scale in self.scales:
+            for fl, d in flip_args:
+                v = copy.deepcopy(results)
+                if self.use_ratio:
+                    v["scale"] = None
+                    v["_resize_ratio"] = float(scale)
+                else:
+                    v["scale"] = tuple(scale)
+                v["flip"] = fl
+                v["flip_direction"] = d
+                out = self.transforms(v)
+                if out is not None:
+                    views.append(out)
+        return {"views": views}
+
+
+@PIPELINES.register_module()
 class NoAug:
     """Single-view passthrough (rtest_time_aug.py:80-95)."""
 

@@ -78,6 +78,33 @@ def test_nms_matches_greedy_reference():
     assert got == ref
 
 
+def test_nms_fixpoint_matches_greedy():
+    from pointtinybenchmark_tpu.ops import nms_fixpoint
+    rng = np.random.RandomState(5)
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        n = 120
+        boxes = rng.rand(n, 4) * 60
+        boxes[:, 2:] = boxes[:, :2] + 4 + rng.rand(n, 2) * 25
+        scores = rng.rand(n).astype(np.float32)
+        ref = _np_greedy_nms(boxes, scores, 0.5)
+        keep_idx, num = nms_fixpoint(jnp.asarray(boxes, jnp.float32),
+                                     jnp.asarray(scores), 0.5, max_out=n)
+        got = [int(i) for i in np.asarray(keep_idx) if i >= 0]
+        assert int(num) == len(ref), seed
+        assert got == ref, seed
+
+
+def test_nms_fixpoint_valid_mask():
+    from pointtinybenchmark_tpu.ops import nms_fixpoint
+    boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
+                        jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep, num = nms_fixpoint(boxes, scores, 0.5, max_out=3,
+                             valid_mask=jnp.asarray([True, True, False]))
+    assert int(num) == 1 and int(keep[0]) == 0
+
+
 def test_nms_respects_valid_mask_and_max_out():
     boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
     scores = jnp.asarray([0.9, 0.8, 0.7])
