@@ -27,7 +27,8 @@ def main():
 
     from __graft_entry__ import _flagship
 
-    model = _flagship(tiny=False)
+    # production serving config: bfloat16 compute (MXU-native), f32 params
+    model = _flagship(tiny=False, dtype="bfloat16")
     batch = 8
     img = jnp.asarray(np.random.RandomState(0).rand(batch, 512, 640, 3),
                       jnp.float32)

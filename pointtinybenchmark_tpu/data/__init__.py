@@ -3,7 +3,8 @@ from .coco import COCO
 from .cocofmt import CocoFmtDataset
 from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
                                RepeatDataset)
-from .loader import DataLoader, DetCollator, EpochSampler, prefetch_to_device
+from .loader import (DataLoader, DetCollator, EpochSampler, GroupSampler,
+                     prefetch_to_device)
 from .transforms import (Collect, Compose, DefaultFormatBundle,
                          LoadAnnotations, LoadImageFromFile, Normalize, Pad,
                          RandomCrop, RandomFlip, Resize)
@@ -21,7 +22,8 @@ __all__ = [
     "COCO", "CocoFmtDataset", "build_dataset", "Compose",
     "LoadImageFromFile", "LoadAnnotations", "Resize", "RandomFlip",
     "Normalize", "Pad", "RandomCrop", "Collect", "DefaultFormatBundle",
-    "DataLoader", "DetCollator", "EpochSampler", "prefetch_to_device",
+    "DataLoader", "DetCollator", "EpochSampler", "GroupSampler",
+    "prefetch_to_device",
     "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
     "generate_pseudo_bbox_for_point", "ConcatDataset", "RepeatDataset",
     "ClassBalancedDataset",

@@ -17,7 +17,8 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["DetCollator", "EpochSampler", "DataLoader", "prefetch_to_device"]
+__all__ = ["DetCollator", "EpochSampler", "GroupSampler", "DataLoader",
+           "prefetch_to_device"]
 
 
 class DetCollator:
@@ -123,17 +124,60 @@ class EpochSampler:
         return idx
 
 
+class GroupSampler(EpochSampler):
+    """Aspect-ratio-grouped batching (mmdet samplers/group_sampler.py:10
+    parity): each batch is drawn from one aspect group (dataset.flag) so
+    max-in-batch padding stays small. Deterministic per epoch."""
+
+    def __init__(self, flags: np.ndarray, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 num_shards: int = 1, shard_id: int = 0):
+        super().__init__(len(flags), shuffle, seed, num_shards, shard_id)
+        self.flags = np.asarray(flags)
+        self.batch_size = batch_size
+
+    def indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + epoch)
+        chunks = []
+        for g in np.unique(self.flags):
+            idx = np.where(self.flags == g)[0]
+            if self.shuffle:
+                idx = idx[rng.permutation(len(idx))]
+            # pad each group to a multiple of batch_size (reference pads by
+            # wrapping)
+            extra = (-len(idx)) % self.batch_size
+            if extra and len(idx):
+                idx = np.concatenate([idx, idx[:extra]])
+            chunks.append(idx.reshape(-1, self.batch_size))
+        batches = np.concatenate(chunks) if chunks else \
+            np.zeros((0, self.batch_size), int)
+        if self.shuffle:
+            batches = batches[rng.permutation(len(batches))]
+        idx = batches.reshape(-1)
+        if self.num_shards > 1:
+            per = int(np.ceil(len(idx) / self.num_shards))
+            padded = np.concatenate(
+                [idx, idx[:per * self.num_shards - len(idx)]])
+            idx = padded[self.shard_id::self.num_shards]
+        return idx
+
+
 class DataLoader:
     """Minimal deterministic batch iterator over a map-style dataset."""
 
     def __init__(self, dataset, batch_size: int, collator: DetCollator,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 num_shards: int = 1, shard_id: int = 0):
+                 num_shards: int = 1, shard_id: int = 0,
+                 group_by_aspect: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collator = collator
-        self.sampler = EpochSampler(len(dataset), shuffle, seed,
-                                    num_shards, shard_id)
+        if group_by_aspect and hasattr(dataset, "flag"):
+            self.sampler = GroupSampler(dataset.flag, batch_size, shuffle,
+                                        seed, num_shards, shard_id)
+        else:
+            self.sampler = EpochSampler(len(dataset), shuffle, seed,
+                                        num_shards, shard_id)
         self.drop_last = drop_last
         self.epoch = 0
 

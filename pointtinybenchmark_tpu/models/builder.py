@@ -37,6 +37,12 @@ def build_model(cfg: dict, registry: Registry, default_args: Optional[dict] = No
             logger.debug("build_model(%s): dropping unsupported config keys %s",
                          obj_type, dropped)
         args = {k: v for k, v in args.items() if k in field_names}
+    # config-friendly dtype strings -> jnp dtypes (bfloat16 rides the MXU)
+    if isinstance(args.get("dtype"), str):
+        import jax.numpy as jnp
+        args["dtype"] = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                         "float16": jnp.float16}[args["dtype"]]
+
     # lists from configs must become (nested) tuples for flax dataclasses
     def _deep_tuple(v):
         if isinstance(v, (list, tuple)):
