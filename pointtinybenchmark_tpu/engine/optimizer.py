@@ -57,11 +57,39 @@ def build_lr_schedule(base_lr: float, lr_config: Optional[dict],
     return schedule
 
 
+def frozen_param_mask(params, frozen_stages: int,
+                      backbone_key: str = "backbone_m"):
+    """Trainability mask implementing the reference's `frozen_stages`
+    (ResNet stem + stages 1..frozen_stages stop updating — mmdet
+    ResNet._freeze_stages). Returns a pytree of bools (True = trainable)."""
+    import jax
+
+    def trainable(path) -> bool:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if backbone_key not in keys:
+            return True
+        name = "/".join(str(k) for k in keys)
+        if frozen_stages >= 0 and ("Conv_0" in name or "BatchNorm_0" in name):
+            # stem conv/bn are the first anonymous modules of the backbone
+            bi = keys.index(backbone_key)
+            if bi + 1 < len(keys) and str(keys[bi + 1]) in ("Conv_0",
+                                                            "BatchNorm_0"):
+                return False
+        for s in range(1, frozen_stages + 1):
+            if any(str(k).startswith(f"layer{s}_") for k in keys):
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: trainable(path), params)
+
+
 def build_optimizer(optimizer_cfg: dict,
                     optimizer_config: Optional[dict] = None,
                     lr_config: Optional[dict] = None,
                     iters_per_epoch: int = 1,
-                    max_epochs: int = 12) -> optax.GradientTransformation:
+                    max_epochs: int = 12,
+                    param_mask=None) -> optax.GradientTransformation:
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop("type", "SGD")
     base_lr = float(cfg.pop("lr"))
@@ -89,4 +117,11 @@ def build_optimizer(optimizer_cfg: dict,
             chain.append(optax.adam(learning_rate=schedule))
     else:
         raise ValueError(f"unsupported optimizer type {opt_type}")
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if param_mask is not None:
+        import jax
+        # zero updates for frozen params (reference requires_grad=False)
+        frozen = (param_mask if callable(param_mask) else
+                  jax.tree_util.tree_map(lambda t: not t, param_mask))
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
+    return tx

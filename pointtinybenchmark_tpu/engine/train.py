@@ -29,7 +29,7 @@ from ..data import DataLoader, DetCollator, build_dataset, prefetch_to_device
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.logging import get_root_logger
 from .checkpoint import load_checkpoint, save_checkpoint
-from .optimizer import build_optimizer
+from .optimizer import build_optimizer, frozen_param_mask
 
 __all__ = ["train_detector", "make_train_step", "init_model"]
 
@@ -123,11 +123,18 @@ def train_detector(model, dataset, cfg, work_dir: str,
 
     runner_cfg = cfg.get("runner", dict(type="EpochBasedRunner", max_epochs=12))
     max_epochs = int(runner_cfg.get("max_epochs", 12))
-    tx = build_optimizer(cfg["optimizer"], cfg.get("optimizer_config"),
-                         cfg.get("lr_config"), iters_per_epoch, max_epochs)
 
     sample = next(iter(loader))
     params, batch_stats = init_model(model, sample, seed)
+
+    # frozen_stages -> zero-update mask (reference ResNet._freeze_stages)
+    frozen_stages = int(dict(cfg.get("model", {}).get(
+        "backbone", {})).get("frozen_stages", -1))
+    mask = (frozen_param_mask(params, frozen_stages)
+            if frozen_stages >= 0 else None)
+    tx = build_optimizer(cfg["optimizer"], cfg.get("optimizer_config"),
+                         cfg.get("lr_config"), iters_per_epoch, max_epochs,
+                         param_mask=mask)
     state = dict(params=params, batch_stats=batch_stats,
                  opt_state=tx.init(params), step=jnp.int32(0))
 

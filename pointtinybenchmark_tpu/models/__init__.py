@@ -1,5 +1,5 @@
 from . import losses  # noqa: F401 — register losses
-from .backbones.resnet import ResNet
+from .backbones.resnet import ResNet, ResNeXt
 from .builder import (build_backbone, build_detector, build_head, build_model,
                       build_neck)
 from .dense_heads.anchor_head import AnchorHead
@@ -9,9 +9,10 @@ from .dense_heads.p2p_head import P2PHead
 from .dense_heads.retina_head import RetinaHead
 from .detectors.single_stage import BasicLocator, SingleStageDetector
 from .necks.fpn import FPN
+from .necks.pafpn import PAFPN
 
 __all__ = [
-    "ResNet", "FPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
+    "ResNet", "ResNeXt", "FPN", "PAFPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
     "FCOSHead", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",

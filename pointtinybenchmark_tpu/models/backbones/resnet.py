@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from ...utils.registry import BACKBONES
 
-__all__ = ["ResNet"]
+__all__ = ["ResNet", "ResNeXt"]
 
 ARCH_SETTINGS = {
     18: ("basic", (2, 2, 2, 2)),
@@ -66,19 +66,26 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     norm_use_running_average: bool = True
+    groups: int = 1          # ResNeXt: grouped 3x3 (mmdet backbones/resnext.py)
+    base_width: int = 64
 
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        if self.groups == 1:
+            mid = self.planes
+        else:
+            mid = (self.planes * self.base_width // 64) * self.groups
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
                          dtype=self.dtype)(y)
         y = nn.relu(y)
         # pytorch style: stride on the 3x3
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    feature_group_count=self.groups)(y)
         y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
                          dtype=self.dtype)(y)
         y = nn.relu(y)
@@ -105,6 +112,8 @@ class ResNet(nn.Module):
     frozen_stages: int = -1          # handled by the optimizer mask upstream
     norm_eval: bool = True           # BN always uses running stats
     base_channels: int = 64
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -130,12 +139,24 @@ class ResNet(nn.Module):
             for j in range(nblocks):
                 s = stride if j == 0 else 1
                 need_down = (j == 0) and (s != 1 or in_ch != planes * expansion)
+                kwargs = {}
+                if block_cls is Bottleneck:
+                    kwargs = dict(groups=self.groups,
+                                  base_width=self.base_width)
                 x = block_cls(planes=planes, stride=s, downsample=need_down,
                               dtype=self.dtype,
                               norm_use_running_average=use_ra,
-                              name=f"layer{i + 1}_block{j}")(x)
+                              name=f"layer{i + 1}_block{j}", **kwargs)(x)
                 in_ch = planes * expansion
             if i in self.out_indices:
                 outs.append(x)
             planes *= 2
         return tuple(outs)
+
+
+@BACKBONES.register_module()
+class ResNeXt(ResNet):
+    """ResNeXt (mmdet models/backbones/resnext.py parity): grouped 3x3 convs
+    in the bottleneck; configs pass groups=32, base_width=4."""
+    groups: int = 32
+    base_width: int = 4

@@ -127,11 +127,15 @@ def nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     keep, _, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(True),
                                                  jnp.int32(0)))
     num_kept = jnp.minimum(keep.sum().astype(jnp.int32), max_out)
-    # top max_out kept, in score order
+    # top max_out kept, in score order (k clamped when fewer candidates)
     rank_score = jnp.where(keep, scores[order], NEG_INF)
-    _, kept_pos = jax.lax.top_k(rank_score, max_out)
+    k = min(max_out, n)
+    _, kept_pos = jax.lax.top_k(rank_score, k)
     kept_valid = jnp.take(keep, kept_pos)
     keep_idx = jnp.where(kept_valid, order[kept_pos], -1).astype(jnp.int32)
+    if k < max_out:
+        keep_idx = jnp.concatenate(
+            [keep_idx, jnp.full((max_out - k,), -1, jnp.int32)])
     return keep_idx, num_kept
 
 
