@@ -10,6 +10,7 @@ from .transforms import (Collect, Compose, DefaultFormatBundle,
                          RandomCrop, RandomFlip, Resize)
 from .tiling import CroppedTilesFlipAug, generate_corner_dataset, tile_grid
 from .noise import generate_pseudo_bbox_for_point
+from .voc import VOCDataset
 
 from ..utils.registry import DATASETS
 
@@ -26,5 +27,5 @@ __all__ = [
     "prefetch_to_device",
     "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
     "generate_pseudo_bbox_for_point", "ConcatDataset", "RepeatDataset",
-    "ClassBalancedDataset",
+    "ClassBalancedDataset", "VOCDataset",
 ]

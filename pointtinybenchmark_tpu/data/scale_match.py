@@ -298,6 +298,41 @@ class GaussianScaleMatch(MonotonicityScaleMatch):
             + np.log(self.dst_sizes[bin_i])))
 
 
+@PIPELINES.register_module()
+class ReAspect:
+    """Randomly re-aspect the image so the mean box aspect matches a target
+    (reference scale_match.py:354-374)."""
+
+    def __init__(self, aspects):
+        self.aspects = tuple(aspects)  # (h/w, ...)
+
+    def __call__(self, results: dict) -> dict:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        boxes = results.get("gt_bboxes", np.zeros((0, 4)))
+        if len(boxes) == 0:
+            return results
+        target_aspect = self.aspects[rng.randint(len(self.aspects))]
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        ok = (w > 0) & (h > 0)
+        if not ok.any():
+            return results
+        mean_aspect = float(np.exp(np.log(h[ok] / w[ok]).mean()))
+        s = (target_aspect / mean_aspect) ** 0.5
+        img = results["img"]
+        ih, iw = img.shape[:2]
+        nw, nh = int(round(iw / s)), int(round(ih * s))
+        pil = Image.fromarray(img.astype(np.uint8))
+        results["img"] = np.asarray(pil.resize((nw, nh), Image.BILINEAR),
+                                    dtype=np.float32)
+        results["img_shape"] = results["img"].shape
+        sf = np.asarray([nw / iw, nh / ih, nw / iw, nh / ih], np.float32)
+        for key in results.get("bbox_fields", []):
+            results[key] = results[key] * sf
+        return results
+
+
 _SM_TYPES = {"ScaleMatch": ScaleMatch,
              "MonotonicityScaleMatch": MonotonicityScaleMatch,
              "GaussianScaleMatch": GaussianScaleMatch}

@@ -360,6 +360,20 @@ class COCOExpandEval:
         self.stats = np.asarray(list(stats.values()))
         return stats
 
+    def classwise_summary(self, cat_names=None) -> "OrderedDict[str, float]":
+        """Per-class AP at the primary IoU (reference cocofmt.py:434-445
+        AsciiTable)."""
+        p = self.params
+        precision = self.eval["precision"]  # (T, R, K, A, M)
+        out = OrderedDict()
+        for k, cat_id in enumerate(p.catIds):
+            s = precision[:, :, k, 0, -1]
+            ap = float(np.mean(s[s > -1])) if (s > -1).any() else -1.0
+            name = (cat_names[k] if cat_names is not None
+                    and k < len(cat_names) else str(cat_id))
+            out[name] = ap
+        return out
+
 
 def _merge_sorted(E, max_det):
     """Concatenate per-image det matches capped at max_det, sorted by score

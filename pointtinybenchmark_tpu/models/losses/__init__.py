@@ -4,9 +4,12 @@ from .iou_loss import DIoULoss, GIoULoss, IoULoss
 from .mil_loss import AllPosLoss, MILLoss
 from .smooth_l1_loss import L1Loss, MSELoss, SmoothL1Loss
 from .utils import accuracy, reduce_loss, weight_reduce_loss
+from .weighted_hausdorff_distance import (WeightedHausdorffDistanceLoss,
+                                          weighted_hausdorff_distance)
 
 __all__ = [
     "FocalLoss", "sigmoid_focal_loss", "CrossEntropyLoss", "SmoothL1Loss",
     "L1Loss", "MSELoss", "IoULoss", "GIoULoss", "DIoULoss", "MILLoss",
     "AllPosLoss", "accuracy", "reduce_loss", "weight_reduce_loss",
+    "WeightedHausdorffDistanceLoss", "weighted_hausdorff_distance",
 ]

@@ -142,3 +142,19 @@ def test_all_pos_loss_runs():
     loss, acc, ns = AllPosLoss()(jnp.asarray(cls_prob), jnp.asarray(ins),
                                  jnp.asarray(labels), jnp.asarray(valid))
     assert np.isfinite(float(loss)) and float(ns) == b * n
+
+
+def test_weighted_hausdorff_distance():
+    from pointtinybenchmark_tpu.models.losses import (
+        weighted_hausdorff_distance)
+    grid = jnp.asarray(np.stack(np.meshgrid(np.arange(8.0), np.arange(8.0)),
+                                -1).reshape(-1, 2))
+    gt = jnp.asarray([[2.0, 2.0], [6.0, 6.0]])
+    valid = jnp.asarray([True, True])
+    # perfect: probability mass exactly on the gt points
+    p_good = jnp.zeros((64,)).at[2 * 8 + 2].set(1.0).at[6 * 8 + 6].set(1.0)
+    p_bad = jnp.ones((64,)) / 64
+    good = float(weighted_hausdorff_distance(p_good, grid, gt, valid, 12.0))
+    bad = float(weighted_hausdorff_distance(p_bad, grid, gt, valid, 12.0))
+    assert good < bad
+    assert good < 1.0

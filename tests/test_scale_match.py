@@ -105,3 +105,17 @@ def test_scale_match_resize_pipeline(anno_files):
     assert out["img"].shape[0] < 200  # shrunk toward tiny distribution
     assert out["scale_factor"].shape == (4,)
     assert len(out["gt_bboxes"]) <= 1
+
+
+def test_reaspect():
+    from pointtinybenchmark_tpu.data.scale_match import ReAspect
+    t = ReAspect(aspects=(2.0,))
+    img = np.zeros((100, 100, 3), np.float32)
+    boxes = np.asarray([[10, 10, 30, 30.]], np.float32)  # aspect 1.0
+    results = dict(img=img, img_shape=img.shape, gt_bboxes=boxes.copy(),
+                   bbox_fields=["gt_bboxes"],
+                   _rng=np.random.RandomState(0))
+    out = t(results)
+    b = out["gt_bboxes"][0]
+    new_aspect = (b[3] - b[1]) / (b[2] - b[0])
+    assert abs(new_aspect - 2.0) < 0.1
