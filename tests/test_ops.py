@@ -192,3 +192,18 @@ def test_roi_align_batch_indexing():
     out = np.asarray(roi_align(feat, rois, 1.0, output_size=2, sampling_ratio=1))
     np.testing.assert_allclose(out[0], 5.0, atol=1e-5)
     np.testing.assert_allclose(out[1], 1.0, atol=1e-5)
+
+
+def test_pallas_suppression_matrix_interpret():
+    """Pallas NMS-suppression kernel vs XLA (interpreter mode on CPU)."""
+    from pointtinybenchmark_tpu.ops.pallas_kernels import (
+        iou_suppression_matrix)
+    rng = np.random.RandomState(0)
+    n = 256
+    boxes = rng.rand(n, 4).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + 5 + rng.rand(n, 2).astype(np.float32) * 30
+    got = np.asarray(iou_suppression_matrix(jnp.asarray(boxes), 0.5,
+                                            interpret=True))
+    want = np.asarray(bbox_overlaps(jnp.asarray(boxes),
+                                    jnp.asarray(boxes))) > 0.5
+    assert (got == want).all()
