@@ -1,0 +1,194 @@
+"""Convergence sanity: a tiny detector must learn to find bright squares on
+black within a few hundred steps. Catches sign/assignment/decode errors that
+shape-level tests can't (the reference relies on full benchmark runs for
+this; a synthetic micro-benchmark gives the same signal in seconds)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointtinybenchmark_tpu.engine.train import init_model, make_train_step
+from pointtinybenchmark_tpu.models import build_detector
+
+
+def _make_data(n_imgs=16, size=64, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs, boxes, valids = [], [], []
+    max_g = 2
+    for _ in range(n_imgs):
+        img = rng.rand(size, size, 3).astype(np.float32) * 0.1
+        bb = np.zeros((max_g, 4), np.float32)
+        vv = np.zeros((max_g,), bool)
+        for g in range(rng.randint(1, max_g + 1)):
+            x, y = rng.randint(4, size - 16, 2)
+            w = h = rng.randint(8, 14)
+            img[y:y + h, x:x + w] = 1.0
+            bb[g] = (x, y, x + w, y + h)
+            vv[g] = True
+        imgs.append(img)
+        boxes.append(bb)
+        valids.append(vv)
+    return (np.stack(imgs), np.stack(boxes), np.stack(valids))
+
+
+@pytest.mark.slow
+def test_retina_learns_synthetic_squares():
+    model = build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=16,
+                           norm_eval=False),
+             neck=dict(type="FPN", in_channels=[16, 32, 64, 128],
+                       out_channels=32, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="RetinaHead", num_classes=1, in_channels=32,
+                 feat_channels=32, stacked_convs=1,
+                 anchor_generator=dict(type="AnchorGenerator",
+                                       octave_base_scale=2,
+                                       scales_per_octave=3,
+                                       ratios=[1.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                               gamma=2.0, alpha=0.25, loss_weight=1.0),
+                 loss_bbox=dict(type="L1Loss", loss_weight=1.0))),
+        dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                           neg_iou_thr=0.4, min_pos_iou=0.3,
+                           ignore_iof_thr=-1),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.2,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=10))
+
+    imgs, boxes, valids = _make_data()
+    b = 8
+    tx = optax.adam(2e-3)
+    batch0 = dict(img=jnp.asarray(imgs[:b]))
+    params, batch_stats = init_model(model, batch0)
+    state = dict(params=params, batch_stats=batch_stats,
+                 opt_state=tx.init(params), step=jnp.int32(0))
+    train_step = make_train_step(model, tx)
+
+    rng = jax.random.PRNGKey(0)
+    n = len(imgs)
+    first_loss = last_loss = None
+    for step in range(150):
+        sel = np.random.RandomState(step).choice(n, b, replace=False)
+        batch = dict(img=jnp.asarray(imgs[sel]),
+                     gt_bboxes=jnp.asarray(boxes[sel]),
+                     gt_labels=jnp.zeros((b, boxes.shape[1]), jnp.int32),
+                     gt_valid=jnp.asarray(valids[sel]),
+                     img_shape=jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                        (b, 1)))
+        rng, k = jax.random.split(rng)
+        state, metrics = train_step(state, batch, k)
+        loss = float(metrics["loss"])
+        if first_loss is None:
+            first_loss = loss
+        last_loss = loss
+    assert last_loss < first_loss * 0.5, (first_loss, last_loss)
+
+    # detection quality: the top detection on each image must hit a gt
+    variables = {"params": state["params"]}
+    if state["batch_stats"]:
+        variables["batch_stats"] = state["batch_stats"]
+    dets, _ = model.apply(variables, jnp.asarray(imgs[:b]),
+                          jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                   (b, 1)),
+                          method=model.simple_test)
+    db = np.asarray(dets.bboxes)
+    dv = np.asarray(dets.valid)
+    hits = 0
+    for i in range(b):
+        if not dv[i].any():
+            continue
+        top = db[i][dv[i]][0]
+        gts = boxes[i][valids[i]]
+        ious = []
+        for g in gts:
+            ix1, iy1 = max(top[0], g[0]), max(top[1], g[1])
+            ix2, iy2 = min(top[2], g[2]), min(top[3], g[3])
+            inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+            a1 = (top[2] - top[0]) * (top[3] - top[1])
+            a2 = (g[2] - g[0]) * (g[3] - g[1])
+            ious.append(inter / max(a1 + a2 - inter, 1e-6))
+        hits += max(ious) > 0.3
+    assert hits >= b // 2, f"only {hits}/{b} top detections hit a gt"
+
+
+@pytest.mark.slow
+def test_p2p_learns_point_localization():
+    """The point stack (auction matching -> focal+reg losses) must learn to
+    place points on bright squares."""
+    model = build_detector(
+        dict(type="BasicLocator",
+             backbone=dict(type="ResNet", depth=18, base_channels=16,
+                           norm_eval=False),
+             neck=dict(type="FPN", in_channels=[16, 32, 64, 128],
+                       out_channels=32, start_level=0,
+                       add_extra_convs="on_input", num_outs=1),
+             bbox_head=dict(
+                 type="P2PHead", num_classes=1, in_channels=32,
+                 feat_channels=32, stacked_convs=2, strides=[4],
+                 point_anchor=[(0.0, 0.0)],
+                 norm_cfg=dict(type="GN", num_groups=8),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                               gamma=2.0, alpha=0.25, loss_weight=1.0),
+                 loss_reg=dict(type="SmoothL1Loss", beta=1.0 / 9.0,
+                               loss_weight=0.5),
+                 pts_gamma=1, reg_norm=1)),
+        dict(neg_weight=1.0,
+             assigner=dict(type="HungarianAssignerV2",
+                           cls_costs=dict(type="FocalLossCost", weight=2.0),
+                           reg_costs=dict(type="DisCostV2", weight=0.1,
+                                          norm_with_img_wh=False),
+                           topk_k=1),
+             sampler=dict(type="PseudoSampler")),
+        dict(nms_pre=100, score_thr=0.2, pseudo_wh=(12, 12),
+             nms=dict(type="nms", iou_threshold=0.3), max_per_img=5))
+
+    imgs, boxes, valids = _make_data(seed=3)
+    b = 8
+    tx = optax.adam(2e-3)
+    params, batch_stats = init_model(model, dict(img=jnp.asarray(imgs[:b])))
+    state = dict(params=params, batch_stats=batch_stats,
+                 opt_state=tx.init(params), step=jnp.int32(0))
+    train_step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(0)
+    first = last = None
+    for step in range(200):
+        sel = np.random.RandomState(step).choice(len(imgs), b, replace=False)
+        batch = dict(img=jnp.asarray(imgs[sel]),
+                     gt_bboxes=jnp.asarray(boxes[sel]),
+                     gt_labels=jnp.zeros((b, boxes.shape[1]), jnp.int32),
+                     gt_valid=jnp.asarray(valids[sel]),
+                     img_shape=jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                        (b, 1)))
+        rng, k = jax.random.split(rng)
+        state, metrics = train_step(state, batch, k)
+        if first is None:
+            first = float(metrics["loss"])
+        last = float(metrics["loss"])
+    assert last < first * 0.7, (first, last)
+
+    variables = {"params": state["params"]}
+    if state["batch_stats"]:
+        variables["batch_stats"] = state["batch_stats"]
+    dets, pts = model.apply(variables, jnp.asarray(imgs[:b]),
+                            jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                     (b, 1)),
+                            method=model.simple_test)
+    pp = np.asarray(pts)
+    dv = np.asarray(dets.valid)
+    hits = 0
+    for i in range(b):
+        if not dv[i].any():
+            continue
+        cx, cy = pp[i][dv[i]][0][:2]
+        centers = (boxes[i][valids[i]][:, :2]
+                   + boxes[i][valids[i]][:, 2:]) / 2
+        d = np.linalg.norm(centers - np.asarray([cx, cy]), axis=1)
+        hits += d.min() < 8
+    assert hits >= b // 2, f"only {hits}/{b} top points near a gt center"
