@@ -192,3 +192,104 @@ def test_p2p_learns_point_localization():
         d = np.linalg.norm(centers - np.asarray([cx, cy]), axis=1)
         hits += d.min() < 8
     assert hits >= b // 2, f"only {hits}/{b} top points near a gt center"
+
+
+@pytest.mark.slow
+def test_cpr_refines_noisy_points_toward_centers():
+    """Flagship check: after MIL training on noisy annotated points, CPR's
+    refined points must be closer to true object centers than the noisy
+    annotations were (the paper's core claim, arXiv 2203.09338)."""
+    model = build_detector(
+        dict(type="BasicLocator",
+             backbone=dict(type="ResNet", depth=18, base_channels=16,
+                           norm_eval=False),
+             neck=dict(type="FPN", in_channels=[16, 32, 64, 128],
+                       out_channels=32, start_level=0,
+                       add_extra_convs="on_input", num_outs=1),
+             bbox_head=dict(
+                 type="CPRHead", num_classes=1, in_channels=32,
+                 feat_channels=32, stacked_convs=2, strides=[4],
+                 norm_cfg=dict(type="GN", num_groups=8),
+                 loss_mil=dict(type="MILLoss", binary_ins=False,
+                               loss_weight=1.0),
+                 loss_cfg=dict(with_neg=True, neg_loss_weight=1.0,
+                               refine_bag_policy="independent_with_gt_bag",
+                               random_remove_rate=0.0,
+                               with_gt_loss=True, gt_loss_weight=0.25,
+                               with_mil_loss=True),
+                 train_pts_extractor=dict(
+                     pos_generator=dict(type="CirclePtFeatGenerator",
+                                        radius=3),
+                     neg_generator=dict(type="OutCirclePtFeatGenerator",
+                                        radius=3)),
+                 refine_pts_extractor=dict(
+                     pos_generator=dict(type="CirclePtFeatGenerator",
+                                        radius=3),
+                     neg_generator=dict(type="OutCirclePtFeatGenerator",
+                                        radius=3)),
+                 point_refiner=dict(merge_th=0.05, refine_th=0.05,
+                                    gt_alpha=0.5,
+                                    classify_filter=False,
+                                    nearest_filter=True))),
+        None, dict(max_per_img=10))
+
+    # squares with annotated points offset from center (noisy points)
+    rng = np.random.RandomState(7)
+    n_imgs, size, max_g = 16, 64, 1   # one object/img: isolates refinement
+    imgs = np.zeros((n_imgs, size, size, 3), np.float32)
+    noisy = np.zeros((n_imgs, max_g, 4), np.float32)   # pseudo boxes
+    centers = np.zeros((n_imgs, max_g, 2), np.float32)  # true centers
+    valids = np.zeros((n_imgs, max_g), bool)
+    for i in range(n_imgs):
+        imgs[i] = rng.rand(size, size, 3) * 0.1
+        for g in range(max_g):
+            w = h = 14
+            x, y = rng.randint(6, size - 22, 2)
+            imgs[i, y:y + h, x:x + w] = 1.0
+            cx, cy = x + w / 2, y + h / 2
+            # annotated point: offset up to 5px from center (inside box)
+            px = cx + rng.uniform(-5, 5)
+            py = cy + rng.uniform(-5, 5)
+            noisy[i, g] = (px - 4, py - 4, px + 4, py + 4)  # 8x8 pseudo box
+            centers[i, g] = (cx, cy)
+            valids[i, g] = True
+
+    b = 8
+    tx = optax.adam(2e-3)
+    batch0 = dict(img=jnp.asarray(imgs[:b]))
+    params, batch_stats = init_model(model, batch0)
+    state = dict(params=params, batch_stats=batch_stats,
+                 opt_state=tx.init(params), step=jnp.int32(0))
+    train_step = make_train_step(model, tx)
+    rng_j = jax.random.PRNGKey(0)
+    for step in range(200):
+        sel = np.random.RandomState(step).choice(n_imgs, b, replace=False)
+        batch = dict(img=jnp.asarray(imgs[sel]),
+                     gt_bboxes=jnp.asarray(noisy[sel]),
+                     gt_labels=jnp.zeros((b, max_g), jnp.int32),
+                     gt_valid=jnp.asarray(valids[sel]),
+                     img_shape=jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                        (b, 1)))
+        rng_j, k = jax.random.split(rng_j)
+        state, metrics = train_step(state, batch, k)
+    assert np.isfinite(float(metrics["loss"]))
+
+    variables = {"params": state["params"]}
+    if state["batch_stats"]:
+        variables["batch_stats"] = state["batch_stats"]
+    batch = dict(gt_bboxes=jnp.asarray(noisy[:b]),
+                 gt_labels=jnp.zeros((b, max_g), jnp.int32),
+                 gt_valid=jnp.asarray(valids[:b]),
+                 img_shape=jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                    (b, 1)))
+    pts, scores, bboxes, not_refine = model.apply(
+        variables, jnp.asarray(imgs[:b]), batch, method=model.refine_test)
+    pts = np.asarray(pts)
+    noisy_pts = (noisy[:b, :, :2] + noisy[:b, :, 2:]) / 2
+    v = valids[:b]
+    d_before = np.linalg.norm(noisy_pts - centers[:b], axis=-1)[v]
+    d_after = np.linalg.norm(pts - centers[:b], axis=-1)[v]
+    frac_refined = 1 - float(np.asarray(not_refine)[v].mean())
+    # refinement must reduce mean distance to the true centers
+    assert d_after.mean() < d_before.mean() * 0.9, (
+        d_before.mean(), d_after.mean(), frac_refined)
