@@ -1,0 +1,34 @@
+# Adap RepPoints on TinyPerson V2 (AP50 75.27 / AP50_tiny 64.56 ref).
+_base_ = ["./faster_rcnn_r50_fpn_1x_tinypersonv2_640.py"]
+norm_cfg = dict(type="GN", num_groups=32)
+model = dict(
+    _delete_=True,
+    type="RepPointsDetector",
+    backbone=dict(type="ResNet", depth=50, num_stages=4,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True),
+    neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=0, add_extra_convs="on_input",
+              num_outs=5, norm_cfg=norm_cfg),
+    bbox_head=dict(
+        type="RepPointsHead", num_classes=1, in_channels=256,
+        feat_channels=256, point_feat_channels=256, stacked_convs=3,
+        num_points=9, gradient_mul=0.1,
+        point_strides=[4, 8, 16, 32, 64], point_base_scale=4,
+        transform_method="moment", moment_mul=0.01, norm_cfg=norm_cfg,
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox_init=dict(type="SmoothL1Loss", beta=0.11, loss_weight=0.5),
+        loss_bbox_refine=dict(type="SmoothL1Loss", beta=0.11,
+                              loss_weight=1.0)))
+train_cfg = dict(
+    _delete_=True,
+    init=dict(assigner=dict(type="PointAssigner", scale=4, pos_num=1),
+              allowed_border=-1, pos_weight=-1),
+    refine=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                              neg_iou_thr=0.4, min_pos_iou=0,
+                              ignore_iof_thr=-1),
+                allowed_border=-1, pos_weight=-1))
+test_cfg = dict(
+    _delete_=True,
+    nms_pre=2000, score_thr=0.05,
+    nms=dict(type="nms", iou_threshold=0.5), max_per_img=1000)
