@@ -56,3 +56,27 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 def replicate(tree, mesh: Mesh):
     rs = NamedSharding(mesh, P())
     return jax.device_put(tree, rs)
+
+
+def shard_params_model_axis(params, mesh: Mesh,
+                            match: str = "bbox_head") -> Any:
+    """Tensor-parallel placement: shard the output-channel axis of large
+    kernels under `match` over the `model` mesh axis; everything else
+    replicated. XLA inserts the activation all-gathers — the sharding
+    annotation is the whole "implementation" (scaling-book recipe).
+
+    The reference has no TP (SURVEY §2.10); this extends the capability
+    envelope for wide heads on larger meshes.
+    """
+    tp = mesh.devices.shape[1]
+    rs = NamedSharding(mesh, P())
+
+    def place(path, x):
+        keys = "/".join(getattr(p, "key", str(p)) for p in path)
+        if (match in keys and getattr(x, "ndim", 0) >= 2
+                and x.shape[-1] % tp == 0 and x.shape[-1] >= 2 * tp):
+            spec = [None] * (x.ndim - 1) + ["model"]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, rs)
+
+    return jax.tree_util.tree_map_with_path(place, params)
