@@ -29,9 +29,10 @@ def save_checkpoint(path: str, state: Dict[str, Any], meta: Optional[dict] = Non
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     with open(path, "rb") as f:
         data = f.read()
+    raw = serialization.msgpack_restore(data)
     if target is not None:
-        return serialization.from_bytes({"state": target, "meta": {}}, data)
-    return serialization.msgpack_restore(data)
+        raw["state"] = serialization.from_state_dict(target, raw["state"])
+    return raw
 
 
 def latest_checkpoint(work_dir: str) -> Optional[str]:

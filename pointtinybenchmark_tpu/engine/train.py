@@ -100,6 +100,8 @@ def train_detector(model, dataset, cfg, work_dir: str,
     eval_fn(state) -> dict of metrics; called per EvalHook policy.
     Returns the final state dict.
     """
+    import os
+    os.makedirs(work_dir, exist_ok=True)
     logger = get_root_logger()
     data_cfg = cfg.get("data", {})
     samples_per_gpu = int(data_cfg.get("samples_per_gpu", 2))

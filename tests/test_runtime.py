@@ -1,0 +1,154 @@
+"""Runtime engine tests: eval-hook policy flags, checkpoint/resume, LR
+schedule (reference tests/test_runtime/test_eval_hook.py pattern: scripted
+metrics + call counting)."""
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rt")
+    data = root / "data"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations, ann_id = [], [], 1
+    for i in range(4):
+        fn = f"img{i}.jpg"
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            data / fn)
+        images.append(dict(id=i + 1, file_name=fn, width=64, height=64))
+        annotations.append(dict(id=ann_id, image_id=i + 1, category_id=1,
+                                bbox=[10.0, 10.0, 12.0, 12.0], area=144.0,
+                                iscrowd=0))
+        ann_id += 1
+    with open(data / "ann.json", "w") as f:
+        json.dump(dict(images=images, annotations=annotations,
+                       categories=[dict(id=1, name="p")]), f)
+
+    from pointtinybenchmark_tpu.data import CocoFmtDataset
+    from pointtinybenchmark_tpu.models import build_detector
+    pipeline = [
+        dict(type="LoadImageFromFile"),
+        dict(type="LoadAnnotations", with_bbox=True),
+        dict(type="Resize", scale_factor=[1.0], keep_ratio=True),
+        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375]),
+        dict(type="Pad", size_divisor=32),
+        dict(type="Collect", keys=["img", "gt_bboxes", "gt_labels",
+                                   "gt_bboxes_ignore"]),
+    ]
+    dataset = CocoFmtDataset(ann_file=str(data / "ann.json"),
+                             pipeline=pipeline, img_prefix=str(data))
+    model = build_detector(
+        dict(type="BasicLocator",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=1),
+             bbox_head=dict(type="P2PHead", num_classes=1, in_channels=16,
+                            feat_channels=16, stacked_convs=1, strides=[4],
+                            point_anchor=[(0.0, 0.0)],
+                            norm_cfg=dict(type="GN", num_groups=4),
+                            loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                                          gamma=2.0, alpha=0.25,
+                                          loss_weight=1.0),
+                            loss_reg=dict(type="SmoothL1Loss", beta=0.111,
+                                          loss_weight=0.5),
+                            pts_gamma=1, reg_norm=1)),
+        dict(neg_weight=1.0,
+             assigner=dict(type="HungarianAssignerV2",
+                           cls_costs=dict(type="FocalLossCost", weight=2.0),
+                           reg_costs=dict(type="DisCostV2", weight=0.1,
+                                          norm_with_img_wh=False), topk_k=1),
+             sampler=dict(type="PseudoSampler")),
+        dict(nms_pre=50, score_thr=0.01, pseudo_wh=(12, 12),
+             nms=dict(type="nms", iou_threshold=0.3), max_per_img=10))
+    cfg = dict(
+        data=dict(samples_per_gpu=1),
+        loader=dict(pad_shape=(64, 64), max_gt=5),
+        optimizer=dict(type="Adam", lr=1e-3),
+        lr_config=dict(policy="step", warmup=None, step=[100]),
+        runner=dict(type="EpochBasedRunner", max_epochs=3),
+        checkpoint_config=dict(interval=1),
+        log_config=dict(interval=10),
+        model=dict(backbone=dict(frozen_stages=-1)),
+    )
+    return dict(dataset=dataset, model=model, cfg=cfg, root=str(root))
+
+
+def test_eval_hook_policy(tiny_setup):
+    from pointtinybenchmark_tpu.engine import train_detector
+    calls = []
+
+    def eval_fn(state):
+        calls.append(1)
+        return {"AP50": 0.1 * len(calls)}
+
+    cfg = dict(tiny_setup["cfg"])
+    cfg["evaluation"] = dict(interval=2, do_first_eval=True,
+                             do_final_eval=True)
+    wd = osp.join(tiny_setup["root"], "wd_eval")
+    train_detector(tiny_setup["model"], tiny_setup["dataset"], cfg, wd,
+                   validate=True, eval_fn=eval_fn)
+    # first eval + epoch2 + final(epoch3)
+    assert len(calls) == 3
+
+
+def test_checkpoint_resume_roundtrip(tiny_setup):
+    from pointtinybenchmark_tpu.engine import (load_checkpoint,
+                                               train_detector)
+    cfg = dict(tiny_setup["cfg"])
+    cfg["runner"] = dict(type="EpochBasedRunner", max_epochs=2)
+    wd = osp.join(tiny_setup["root"], "wd_ckpt")
+    state = train_detector(tiny_setup["model"], tiny_setup["dataset"], cfg,
+                           wd)
+    ck1 = osp.join(wd, "epoch_1.ckpt")
+    ck2 = osp.join(wd, "epoch_2.ckpt")
+    assert osp.exists(ck1) and osp.exists(ck2)
+    assert osp.exists(osp.join(wd, "latest.ckpt"))
+    assert osp.exists(osp.join(wd, "log.json"))
+
+    # resume from epoch 1 -> trains only epoch 2
+    cfg2 = dict(cfg)
+    wd2 = osp.join(tiny_setup["root"], "wd_resume")
+    state2 = train_detector(tiny_setup["model"], tiny_setup["dataset"], cfg2,
+                            wd2, resume_from=ck1)
+    assert osp.exists(osp.join(wd2, "epoch_2.ckpt"))
+    assert not osp.exists(osp.join(wd2, "epoch_1.ckpt"))
+
+    # load_from: weights only
+    ck = load_checkpoint(ck2)
+    assert "params" in ck["state"] and ck["meta"]["epoch"] == 2
+
+
+def test_lr_schedule_step_and_warmup():
+    from pointtinybenchmark_tpu.engine import build_lr_schedule
+    sched = build_lr_schedule(
+        0.01, dict(policy="step", warmup="linear", warmup_iters=10,
+                   warmup_ratio=0.1, step=[1, 2]),
+        iters_per_epoch=100, max_epochs=3)
+    assert float(sched(0)) == pytest.approx(0.001)
+    assert float(sched(9)) < 0.01
+    assert float(sched(50)) == pytest.approx(0.01)       # epoch 0 after warmup
+    assert float(sched(150)) == pytest.approx(0.001)     # epoch 1: x0.1
+    assert float(sched(250)) == pytest.approx(0.0001)    # epoch 2: x0.01
+
+
+def test_frozen_param_mask():
+    from pointtinybenchmark_tpu.engine.optimizer import frozen_param_mask
+    params = {"backbone_m": {"layer1_block0": {"Conv_0": {"kernel":
+                                                          np.ones(3)}},
+                             "layer2_block0": {"Conv_0": {"kernel":
+                                                          np.ones(3)}}},
+              "neck_m": {"Conv_0": {"kernel": np.ones(3)}}}
+    mask = frozen_param_mask(params, frozen_stages=1)
+    assert mask["backbone_m"]["layer1_block0"]["Conv_0"]["kernel"] is False
+    assert mask["backbone_m"]["layer2_block0"]["Conv_0"]["kernel"] is True
+    assert mask["neck_m"]["Conv_0"]["kernel"] is True
