@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..ops.nms import batched_nms
 from ..utils.logging import get_root_logger
 
-__all__ = ["run_test", "run_tiled_test", "run_refine_test", "merge_tile_dets"]
+__all__ = ["run_test", "run_tiled_test", "run_tta_test",
+           "run_refine_test", "merge_tile_dets"]
 
 
 def _to_result(bboxes: np.ndarray, labels: np.ndarray, valid: np.ndarray,
@@ -67,6 +68,68 @@ def run_test(model, state, dataset, collator, batch_size: int = 1,
                                       dp[i] if dp is not None else None))
         if (start // batch_size) % 50 == 0:
             logger.info("test %d/%d", start + len(flat), n)
+    return results
+
+
+def run_tta_test(model, state, dataset, collator,
+                 merge_iou_threshold: float = 0.5, max_per_img: int = 100,
+                 rescale: bool = True) -> List[dict]:
+    """Classic TTA merge (reference merge_aug_bboxes path,
+    core/post_processing/merge_augs.py): run each (scale x flip) view, map
+    boxes back to the original frame (inverse flip + inverse scale), then
+    class-aware NMS across views."""
+    logger = get_root_logger()
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+
+    @jax.jit
+    def infer(img, img_shape):
+        return model.apply(variables, img, img_shape,
+                           method=model.simple_test)
+
+    results: List[dict] = []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        views = sample["views"] if "views" in sample else [sample]
+        batch = collator(views)
+        dets, _ = infer(jnp.asarray(batch["img"]),
+                        jnp.asarray(batch["img_shape"]))
+        db = np.asarray(dets.bboxes)
+        dl = np.asarray(dets.labels)
+        dv = np.asarray(dets.valid)
+        boxes_all, scores_all, labels_all, valid_all = [], [], [], []
+        for vi, view in enumerate(views):
+            meta = view.get("img_metas", {})
+            boxes = db[vi][:, :4].copy()
+            if meta.get("flip"):
+                w = view["img"].shape[1]
+                if meta.get("flip_direction", "horizontal") == "horizontal":
+                    x1 = w - boxes[:, 2]
+                    x2 = w - boxes[:, 0]
+                    boxes[:, 0], boxes[:, 2] = x1, x2
+                else:
+                    h = view["img"].shape[0]
+                    y1 = h - boxes[:, 3]
+                    y2 = h - boxes[:, 1]
+                    boxes[:, 1], boxes[:, 3] = y1, y2
+            if rescale:
+                sf = np.asarray(meta.get("scale_factor", [1, 1, 1, 1]),
+                                np.float32)
+                boxes = boxes / sf
+            boxes_all.append(boxes)
+            scores_all.append(db[vi][:, 4])
+            labels_all.append(dl[vi])
+            valid_all.append(dv[vi])
+        mb, ms, ml = merge_tile_dets(
+            np.concatenate(boxes_all), np.concatenate(scores_all),
+            np.concatenate(labels_all), np.concatenate(valid_all),
+            merge_iou_threshold, max_per_img)
+        results.append(dict(bboxes=np.concatenate([mb, ms[:, None]], 1),
+                            labels=ml))
+        if idx % 50 == 0:
+            logger.info("tta test %d/%d (%d views)", idx + 1, len(dataset),
+                        len(views))
     return results
 
 
