@@ -3,6 +3,7 @@ from .backbones.resnet import ResNet, ResNeXt
 from .builder import (build_backbone, build_detector, build_head, build_model,
                       build_neck)
 from .dense_heads.anchor_head import AnchorHead
+from .dense_heads.atss_head import ATSSHead
 from .dense_heads.cpr_head import CPRHead
 from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.p2p_head import P2PHead
@@ -13,7 +14,7 @@ from .necks.pafpn import PAFPN
 
 __all__ = [
     "ResNet", "ResNeXt", "FPN", "PAFPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
-    "FCOSHead", "SingleStageDetector", "BasicLocator",
+    "FCOSHead", "ATSSHead", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

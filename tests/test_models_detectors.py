@@ -167,3 +167,61 @@ def test_retina_adap_anchor_scales():
     s = np.asarray(stock.base_anchors[0])
     assert (a[0, 2] - a[0, 0]) == pytest.approx(8.0)
     assert (s[0, 2] - s[0, 0]) == pytest.approx(32.0)
+
+
+def test_atss_assign_and_losses():
+    from pointtinybenchmark_tpu.models.dense_heads.atss_head import atss_assign
+    # two levels of anchors; one gt -> adaptive threshold picks center anchors
+    anchors = []
+    for s in (4, 8):
+        for y in range(4):
+            for x in range(4):
+                cx, cy = x * s + s / 2, y * s + s / 2
+                anchors.append([cx - s, cy - s, cx + s, cy + s])
+    anchors = np.asarray(anchors, np.float32)
+    gts = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
+    assigned = atss_assign(anchors, [16, 16], gts, jnp.asarray([True]),
+                           topk=4)
+    a = np.asarray(assigned)
+    assert (a > 0).sum() >= 1
+    # all positives have centers inside the gt
+    for i in np.where(a > 0)[0]:
+        cx = (anchors[i, 0] + anchors[i, 2]) / 2
+        cy = (anchors[i, 1] + anchors[i, 3]) / 2
+        assert 4 < cx < 12 and 4 < cy < 12
+
+    model = build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(type="ATSSHead", num_classes=2, in_channels=16,
+                            feat_channels=16, stacked_convs=1,
+                            norm_cfg=dict(type="GN", num_groups=4),
+                            anchor_generator=dict(type="AnchorGenerator",
+                                                  ratios=[1.0],
+                                                  octave_base_scale=2,
+                                                  scales_per_octave=1,
+                                                  strides=[4, 8, 16, 32, 64]),
+                            bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                            target_stds=[0.1, 0.1, 0.2, 0.2]),
+                            loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                                          gamma=2.0, alpha=0.25,
+                                          loss_weight=1.0),
+                            loss_bbox=dict(type="GIoULoss", loss_weight=2.0))),
+        dict(assigner=dict(type="ATSSAssigner", topk=9),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.6), max_per_img=50))
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) > 0
+    dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape[2] == 5
