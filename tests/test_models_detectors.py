@@ -179,7 +179,7 @@ def test_atss_assign_and_losses():
                 cx, cy = x * s + s / 2, y * s + s / 2
                 anchors.append([cx - s, cy - s, cx + s, cy + s])
     anchors = np.asarray(anchors, np.float32)
-    gts = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
+    gts = jnp.asarray([[3.0, 3.0, 12.0, 12.0]])  # asymmetric: clear best
     assigned = atss_assign(anchors, [16, 16], gts, jnp.asarray([True]),
                            topk=4)
     a = np.asarray(assigned)
@@ -188,7 +188,7 @@ def test_atss_assign_and_losses():
     for i in np.where(a > 0)[0]:
         cx = (anchors[i, 0] + anchors[i, 2]) / 2
         cy = (anchors[i, 1] + anchors[i, 3]) / 2
-        assert 4 < cx < 12 and 4 < cy < 12
+        assert 3 < cx < 12 and 3 < cy < 12
 
     model = build_detector(
         dict(type="SingleStageDetector",
