@@ -198,22 +198,37 @@ class DataLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def _load_one(self, i: int):
+        s = self.dataset[int(i)]
+        tries = 0
+        while s is None and tries < 10:  # filtered sample: resample
+            i = (int(i) + 1) % len(self.dataset)
+            s = self.dataset[i]
+            tries += 1
+        return s
+
+    def _load_batch(self, sel) -> Dict[str, Any]:
+        samples = [s for s in (self._load_one(i) for i in sel)
+                   if s is not None]
+        return self.collator(samples)
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        """Batches are produced by a background thread one step ahead, so the
+        host pipeline (decode + aug, GIL-releasing PIL/numpy) overlaps device
+        compute — the torch worker-process analog on a 1-core host."""
+        from concurrent.futures import ThreadPoolExecutor
+
         idx = self._epoch_indices()
         nb = len(self)
-        for bi in range(nb):
-            sel = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
-            samples = []
-            for i in sel:
-                s = self.dataset[int(i)]
-                tries = 0
-                while s is None and tries < 10:  # filtered sample: resample
-                    i = (int(i) + 1) % len(self.dataset)
-                    s = self.dataset[i]
-                    tries += 1
-                if s is not None:
-                    samples.append(s)
-            yield self.collator(samples)
+        sels = [idx[bi * self.batch_size:(bi + 1) * self.batch_size]
+                for bi in range(nb)]
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self._load_batch, sels[0]) if sels else None
+            for bi in range(nb):
+                batch = fut.result()
+                fut = (pool.submit(self._load_batch, sels[bi + 1])
+                       if bi + 1 < nb else None)
+                yield batch
 
 
 def prefetch_to_device(iterator, size: int = 2):
