@@ -6,6 +6,7 @@ from .dense_heads.anchor_head import AnchorHead
 from .dense_heads.atss_head import ATSSHead
 from .dense_heads.cpr_head import CPRHead
 from .dense_heads.fcos_head import FCOSHead
+from .dense_heads.gfl_head import GFLHead
 from .dense_heads.p2p_head import P2PHead
 from .dense_heads.retina_head import RetinaHead
 from .detectors.single_stage import BasicLocator, SingleStageDetector
@@ -14,7 +15,7 @@ from .necks.pafpn import PAFPN
 
 __all__ = [
     "ResNet", "ResNeXt", "FPN", "PAFPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
-    "FCOSHead", "ATSSHead", "SingleStageDetector", "BasicLocator",
+    "FCOSHead", "ATSSHead", "GFLHead", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

@@ -1,5 +1,6 @@
 from .cross_entropy_loss import CrossEntropyLoss
 from .focal_loss import FocalLoss, sigmoid_focal_loss
+from .gfocal_loss import DistributionFocalLoss, QualityFocalLoss
 from .iou_loss import DIoULoss, GIoULoss, IoULoss
 from .mil_loss import AllPosLoss, MILLoss
 from .smooth_l1_loss import L1Loss, MSELoss, SmoothL1Loss
@@ -8,7 +9,8 @@ from .weighted_hausdorff_distance import (WeightedHausdorffDistanceLoss,
                                           weighted_hausdorff_distance)
 
 __all__ = [
-    "FocalLoss", "sigmoid_focal_loss", "CrossEntropyLoss", "SmoothL1Loss",
+    "FocalLoss", "sigmoid_focal_loss", "QualityFocalLoss",
+    "DistributionFocalLoss", "CrossEntropyLoss", "SmoothL1Loss",
     "L1Loss", "MSELoss", "IoULoss", "GIoULoss", "DIoULoss", "MILLoss",
     "AllPosLoss", "accuracy", "reduce_loss", "weight_reduce_loss",
     "WeightedHausdorffDistanceLoss", "weighted_hausdorff_distance",

@@ -225,3 +225,57 @@ def test_atss_assign_and_losses():
     dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape[2] == 5
+
+
+def test_gfl_head():
+    from pointtinybenchmark_tpu.models.losses import (DistributionFocalLoss,
+                                                      QualityFocalLoss)
+    # DFL: point mass exactly on integer target -> loss ~0
+    pred = jnp.asarray([[10., -10., -10.]])
+    tgt = jnp.asarray([0.0])
+    assert float(DistributionFocalLoss(loss_weight=1.0)(pred, tgt)) < 1e-3
+    # fractional target: best distribution splits adjacent bins
+    pred2 = jnp.asarray([[5., 5., -10.]])
+    tgt2 = jnp.asarray([0.5])
+    l_split = float(DistributionFocalLoss(loss_weight=1.0)(pred2, tgt2))
+    l_point = float(DistributionFocalLoss(loss_weight=1.0)(pred, tgt2))
+    assert l_split < l_point
+
+    # QFL: perfect prediction of quality -> smaller loss than wrong
+    logits_good = jnp.asarray([[jnp.log(0.8 / 0.2), -5.0]])
+    logits_bad = jnp.asarray([[-5.0, -5.0]])
+    labels = jnp.asarray([0])
+    scores = jnp.asarray([0.8])
+    qfl = QualityFocalLoss(loss_weight=1.0)
+    assert float(qfl(logits_good, (labels, scores))) < \
+        float(qfl(logits_bad, (labels, scores)))
+
+    model = build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(type="GFLHead", num_classes=2, in_channels=16,
+                            feat_channels=16, stacked_convs=1, reg_max=8,
+                            norm_cfg=dict(type="GN", num_groups=4),
+                            anchor_generator=dict(type="AnchorGenerator",
+                                                  ratios=[1.0],
+                                                  octave_base_scale=2,
+                                                  scales_per_octave=1,
+                                                  strides=[4, 8, 16, 32, 64]))),
+        dict(assigner=dict(type="ATSSAssigner", topk=9),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.6), max_per_img=50))
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) > 0
+    dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape[2] == 5
