@@ -23,10 +23,12 @@ __all__ = [
 from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
 from .detectors.single_stage import RepPointsDetector  # noqa: E402
-from .detectors.two_stage import FasterRCNN, TwoStageDetector  # noqa: E402
+from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
+                                  TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402
+from .roi_heads.cascade_roi_head import CascadeRoIHead  # noqa: E402
 from .roi_heads.standard_roi_head import StandardRoIHead  # noqa: E402
 
 __all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
-            "TwoStageDetector", "FasterRCNN",
+            "TwoStageDetector", "FasterRCNN", "CascadeRCNN", "CascadeRoIHead",
             "Shared2FCBBoxHead", "StandardRoIHead"]

@@ -114,3 +114,9 @@ class TwoStageDetector(nn.Module):
 @DETECTORS.register_module()
 class FasterRCNN(TwoStageDetector):
     pass
+
+
+@DETECTORS.register_module()
+class CascadeRCNN(TwoStageDetector):
+    """Cascade R-CNN shell (mmdet models/detectors/cascade_rcnn.py)."""
+    pass

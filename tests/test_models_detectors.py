@@ -279,3 +279,70 @@ def test_gfl_head():
     dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape[2] == 5
+
+
+def test_cascade_rcnn():
+    stage_head = dict(type="Shared2FCBBoxHead", num_classes=2,
+                      in_channels=16, fc_out_channels=32, roi_feat_size=7,
+                      bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                      target_stds=[0.1, 0.1, 0.2, 0.2]),
+                      loss_cls=dict(type="CrossEntropyLoss", loss_weight=1.0),
+                      loss_bbox=dict(type="SmoothL1Loss", beta=1.0,
+                                     loss_weight=1.0))
+    rcnn_stages = [
+        dict(assigner=dict(pos_iou_thr=thr, neg_iou_thr=thr, min_pos_iou=thr,
+                           match_low_quality=False, ignore_iof_thr=-1),
+             sampler=dict(num=32, pos_fraction=0.25,
+                          add_gt_as_proposals=(thr == 0.5)))
+        for thr in (0.5, 0.6, 0.7)]
+    model = build_detector(
+        dict(type="CascadeRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0, num_outs=5),
+             rpn_head=dict(type="RPNHead", num_classes=1, in_channels=16,
+                           feat_channels=16,
+                           anchor_generator=dict(type="AnchorGenerator",
+                                                 scales=[2],
+                                                 ratios=[0.5, 1.0, 2.0],
+                                                 strides=[4, 8, 16, 32, 64]),
+                           bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                           target_stds=[1, 1, 1, 1]),
+                           loss_cls=dict(type="CrossEntropyLoss",
+                                         use_sigmoid=True, loss_weight=1.0),
+                           loss_bbox=dict(type="L1Loss", loss_weight=1.0)),
+             roi_head=dict(type="CascadeRoIHead", num_stages=3,
+                           stage_loss_weights=[1.0, 0.5, 0.25],
+                           bbox_roi_extractor=dict(
+                               roi_layer=dict(type="RoIAlign", output_size=7,
+                                              sampling_ratio=0),
+                               out_channels=16,
+                               featmap_strides=[4, 8, 16, 32]),
+                           bbox_head=[stage_head] * 3)),
+        dict(rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                    neg_iou_thr=0.3, min_pos_iou=0.3,
+                                    match_low_quality=True,
+                                    ignore_iof_thr=-1),
+                      sampler=dict(type="RandomSampler", num=256,
+                                   pos_fraction=0.5),
+                      allowed_border=-1, pos_weight=-1),
+             rpn_proposal=dict(nms_pre=200, max_per_img=64,
+                               nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=rcnn_stages),
+        dict(rpn=dict(nms_pre=200, max_per_img=64,
+                      nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                       max_per_img=20)))
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"],
+                            rngs={"sampler": jax.random.PRNGKey(3)})
+    assert {"loss_s0_cls", "loss_s1_cls", "loss_s2_cls",
+            "loss_rpn_cls"} <= set(losses)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
