@@ -1,4 +1,5 @@
 from . import losses  # noqa: F401 — register losses
+from .backbones.mobilenet_v2 import MobileNetV2
 from .backbones.resnet import ResNet, ResNeXt
 from .builder import (build_backbone, build_detector, build_head, build_model,
                       build_neck)
@@ -14,7 +15,7 @@ from .necks.fpn import FPN
 from .necks.pafpn import PAFPN
 
 __all__ = [
-    "ResNet", "ResNeXt", "FPN", "PAFPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
+    "ResNet", "ResNeXt", "MobileNetV2", "FPN", "PAFPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
     "FCOSHead", "ATSSHead", "GFLHead", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
