@@ -6,6 +6,7 @@ from .builder import (build_backbone, build_detector, build_head, build_model,
 from .dense_heads.anchor_head import AnchorHead
 from .dense_heads.atss_head import ATSSHead
 from .dense_heads.cpr_head import CPRHead
+from .dense_heads.detr_head import DETRHead
 from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.gfl_head import GFLHead
 from .dense_heads.p2p_head import P2PHead
@@ -16,14 +17,14 @@ from .necks.pafpn import PAFPN
 
 __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "FPN", "PAFPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
-    "FCOSHead", "ATSSHead", "GFLHead", "SingleStageDetector", "BasicLocator",
+    "FCOSHead", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
 
 from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
-from .detectors.single_stage import RepPointsDetector  # noqa: E402
+from .detectors.single_stage import DETR, RepPointsDetector  # noqa: E402
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402

@@ -130,3 +130,9 @@ class BasicLocator(SingleStageDetector):
 class RepPointsDetector(SingleStageDetector):
     """RepPoints single-stage shell (mmdet models/detectors/reppoints_detector.py)."""
     pass
+
+
+@DETECTORS.register_module()
+class DETR(SingleStageDetector):
+    """DETR shell (mmdet models/detectors/detr.py)."""
+    pass
