@@ -17,6 +17,7 @@ from __future__ import annotations
 import os.path as osp
 import sys
 import time
+from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import numpy as np
@@ -55,7 +56,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
     `loss` (mmdet _parse_losses parity).
     """
 
-    @jax.jit
+    # donate the state buffers: params/opt_state update in place on device
+    # (halves peak HBM for the update step)
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         def loss_fn(params):
             variables = {"params": params}

@@ -5,7 +5,7 @@ from .builder import (build_backbone, build_detector, build_head, build_model,
                       build_neck)
 from .dense_heads.anchor_head import AnchorHead
 from .dense_heads.atss_head import ATSSHead
-from .dense_heads.cpr_head import CPRHead
+from .dense_heads.cpr_head import CascadeCPRHead, CPRHead
 from .dense_heads.detr_head import DETRHead
 from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.gfl_head import GFLHead
@@ -16,7 +16,7 @@ from .necks.fpn import FPN
 from .necks.pafpn import PAFPN
 
 __all__ = [
-    "ResNet", "ResNeXt", "MobileNetV2", "FPN", "PAFPN", "P2PHead", "CPRHead", "AnchorHead", "RetinaHead",
+    "ResNet", "ResNeXt", "MobileNetV2", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
     "FCOSHead", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",

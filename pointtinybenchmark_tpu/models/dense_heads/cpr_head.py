@@ -43,7 +43,7 @@ from ...ops.grid_sample import point_sample_pixel
 from ...utils.registry import HEADS, LOSSES
 from ..utils import ConvModule, bias_init_with_prob
 
-__all__ = ["CPRHead", "circle_offsets"]
+__all__ = ["CPRHead", "CascadeCPRHead", "circle_offsets"]
 
 
 def circle_offsets(radius: int, base_num_point: int = 8, stride: float = 1.0,
@@ -85,6 +85,7 @@ class CPRHead(nn.Module):
     point_refiner: Optional[dict] = None
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
+    cascade_stages: int = 1     # >1 = CPR++-style iterative refinement
     dtype: Any = jnp.float32
 
     needs_gt_in_forward = True  # plain class attr (not a flax field)
@@ -198,8 +199,7 @@ class CPRHead(nn.Module):
 
         stride = float(self.strides[0])
         pad_shape = batch["pad_shape"]
-        gt_points = batch["gt_points"]            # (B, G, R, 2)
-        b, g, r, _ = gt_points.shape
+        b, g, r, _ = batch["gt_points"].shape
 
         extractor = (self.train_pts_extractor if mode == "train"
                      else self.refine_pts_extractor)
@@ -212,25 +212,45 @@ class CPRHead(nn.Module):
             offs = np.concatenate([offs, np.zeros((1, 2), np.float32)])
         nc = offs.shape[0]
 
-        bag_pts = gt_points[:, :, :, None, :] + offs[None, None, None]  # (B,G,R,NC,2)
-        inside = ((bag_pts[..., 0] >= 0) & (bag_pts[..., 0] < pad_shape[1])
-                  & (bag_pts[..., 1] >= 0) & (bag_pts[..., 1] < pad_shape[0]))
-        bag_valid = inside & batch["gt_valid"][:, :, None, None]
-
-        flat_pts = bag_pts.reshape(b, g * r * nc, 2) / stride
-        bag_cls_feats = point_sample_pixel(cls_feat, flat_pts).reshape(
-            b, g, r, nc, -1)
-        bag_cls_outs = head_cls(bag_cls_feats)
-        if self.ins_share_head_feat:
-            bag_ins_outs = (bag_cls_outs if self.ins_share_head_classifier
-                            else head_ins(bag_cls_feats))
-        else:
-            bag_ins_feats = point_sample_pixel(ins_feat, flat_pts).reshape(
+        def run_bags(gt_points):
+            """Sample circle bags at gt_points and run the point heads."""
+            bag_pts = gt_points[:, :, :, None, :] + offs[None, None, None]
+            inside = ((bag_pts[..., 0] >= 0)
+                      & (bag_pts[..., 0] < pad_shape[1])
+                      & (bag_pts[..., 1] >= 0)
+                      & (bag_pts[..., 1] < pad_shape[0]))
+            bag_valid = inside & batch["gt_valid"][:, :, None, None]
+            flat_pts = bag_pts.reshape(b, g * r * nc, 2) / stride
+            bag_cls_feats = point_sample_pixel(cls_feat, flat_pts).reshape(
                 b, g, r, nc, -1)
-            bag_ins_outs = head_ins(bag_ins_feats)
+            bag_cls_outs = head_cls(bag_cls_feats)
+            if self.ins_share_head_feat:
+                bag_ins_outs = (bag_cls_outs if self.ins_share_head_classifier
+                                else head_ins(bag_cls_feats))
+            else:
+                bag_ins_feats = point_sample_pixel(
+                    ins_feat, flat_pts).reshape(b, g, r, nc, -1)
+                bag_ins_outs = head_ins(bag_ins_feats)
+            return dict(bag_pts=bag_pts, bag_valid=bag_valid,
+                        bag_cls_outs=bag_cls_outs,
+                        bag_ins_outs=bag_ins_outs)
 
-        out = dict(bag_pts=bag_pts, bag_valid=bag_valid,
-                   bag_cls_outs=bag_cls_outs, bag_ins_outs=bag_ins_outs)
+        if mode == "cascade_refine":
+            # CPR++-style iterative refinement (the reference's
+            # CascadeCPRHead exists only as a config reference —
+            # SURVEY.md §0): re-extract bags at each stage's refined points.
+            pts = batch["gt_points"][:, :, 0, :]            # (B, G, 2)
+            not_refine = None
+            scores = None
+            for _ in range(max(int(self.cascade_stages), 1)):
+                hb = dict(batch)
+                hb["gt_points"] = pts[:, :, None, :]
+                outputs = run_bags(hb["gt_points"])
+                pts, scores, nr = self.refine(outputs, hb)
+                not_refine = nr if not_refine is None else (not_refine | nr)
+            return pts, scores, not_refine
+
+        out = run_bags(batch["gt_points"])
 
         if mode == "train":
             # negatives: all grid cell centers; the out-of-circle validity
@@ -486,3 +506,15 @@ class CPRHead(nn.Module):
                               pseudo_wh=(16, 16)) -> jnp.ndarray:
         wh = jnp.asarray(pseudo_wh, centers.dtype)
         return jnp.concatenate([centers - wh / 2, centers + wh / 2], axis=-1)
+
+
+@HEADS.register_module()
+class CascadeCPRHead(CPRHead):
+    """Iterative (cascaded) coarse point refinement — the CPR++ direction.
+
+    The reference's configs2/DOTA/coarsepointv2/cascade_coarse_point_refine_
+    ...py references a CascadeCPRHead that is NOT implemented in the
+    reference checkout (SURVEY.md §0); this provides the capability: refined
+    points from each stage seed the next stage's bags.
+    """
+    cascade_stages: int = 2

@@ -120,8 +120,12 @@ class BasicLocator(SingleStageDetector):
         pseudo boxes (reference get_bboxes :1231-1283)."""
         head = self.bbox_head_m
         hb = self._head_batch(img, batch)
-        outputs = self(img, batch, train=False, mode="refine")
-        refine_pts, scores, not_refine = head.refine(outputs, hb)
+        if getattr(head, "cascade_stages", 1) > 1:
+            refine_pts, scores, not_refine = self(
+                img, batch, train=False, mode="cascade_refine")
+        else:
+            outputs = self(img, batch, train=False, mode="refine")
+            refine_pts, scores, not_refine = head.refine(outputs, hb)
         bboxes = head.center_to_pseudo_bbox(refine_pts, pseudo_wh)
         return refine_pts, scores, bboxes, not_refine
 

@@ -164,3 +164,50 @@ def test_cpr_padded_gts_do_not_contribute():
                                rtol=1e-5)
     np.testing.assert_allclose(float(l1["loss_neg"]), float(l2["loss_neg"]),
                                rtol=1e-5)
+
+
+def test_cascade_cpr_refine():
+    """CPR++-style cascade: multiple refinement stages run and stay within
+    the cumulative bag radius."""
+    model = build_detector(
+        dict(type="BasicLocator",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=1),
+             bbox_head=dict(
+                 type="CascadeCPRHead", cascade_stages=2,
+                 num_classes=2, in_channels=16, feat_channels=16,
+                 stacked_convs=1, strides=[4],
+                 norm_cfg=dict(type="GN", num_groups=4),
+                 train_pts_extractor=dict(
+                     pos_generator=dict(type="CirclePtFeatGenerator",
+                                        radius=2),
+                     neg_generator=dict(type="OutCirclePtFeatGenerator",
+                                        radius=2)),
+                 refine_pts_extractor=dict(
+                     pos_generator=dict(type="CirclePtFeatGenerator",
+                                        radius=2),
+                     neg_generator=dict(type="OutCirclePtFeatGenerator",
+                                        radius=2)),
+                 point_refiner=dict(merge_th=0.0, refine_th=0.0))),
+        None, dict(max_per_img=10))
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    bb = np.full((1, 3, 4), 24.0, np.float32)
+    bb[..., 2:] += 8
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray([[0, 1, 0]], jnp.int32),
+                 gt_valid=jnp.asarray([[True, True, False]]),
+                 img_shape=jnp.asarray([[64, 64]], jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    pts, scores, boxes, not_refine = model.apply(
+        variables, img, batch, method=model.refine_test)
+    assert pts.shape == (1, 3, 2)
+    centers = (bb[..., :2] + bb[..., 2:]) / 2
+    d = np.linalg.norm(np.asarray(pts) - centers, axis=-1)
+    # two stages, radius 2*stride 4 each -> at most 16 px total movement
+    assert (d[np.asarray(batch["gt_valid"])] <= 16 + 1e-3).all()
+    # training still works through the cascade head (single-stage loss)
+    losses = model.apply(variables, img, batch, method=model.forward_train,
+                         rngs={"sampler": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(losses["loss_pos"]))
