@@ -141,7 +141,7 @@ class CocoFmtDataset:
 
     def _parse_ann_info(self, img_info: dict, ann_info: List[dict]) -> dict:
         gt_bboxes, gt_labels, gt_bboxes_ignore = [], [], []
-        true_bboxes, anns_id = [], []
+        true_bboxes, anns_id, gt_masks = [], [], []
         for ann in ann_info:
             if self.train_ignore_as_bg and ann.get("ignore", False):
                 continue
@@ -164,6 +164,7 @@ class CocoFmtDataset:
                     tx, ty, tw, th = ann["true_bbox"]
                     true_bboxes.append([tx, ty, tx + tw, ty + th])
                 anns_id.append(ann["id"])
+                gt_masks.append(ann.get("segmentation"))
 
         out = dict(
             bboxes=np.asarray(gt_bboxes, np.float32).reshape(-1, 4),
@@ -171,6 +172,7 @@ class CocoFmtDataset:
             anns_id=np.asarray(anns_id, np.int64),
             bboxes_ignore=np.asarray(gt_bboxes_ignore,
                                      np.float32).reshape(-1, 4),
+            masks=gt_masks,
         )
         if true_bboxes:
             out["true_bboxes"] = np.asarray(true_bboxes, np.float32)

@@ -87,6 +87,15 @@ class DetCollator:
         if "gt_true_bboxes" in samples[0]:
             batch["gt_true_bboxes"], _ = self._pad_boxes(
                 [s["gt_true_bboxes"] for s in samples], self.max_gt)
+        if "gt_masks" in samples[0]:
+            mh, mw = th, tw
+            gm = np.zeros((b, self.max_gt, mh, mw), np.uint8)
+            for i, s_ in enumerate(samples):
+                m = s_["gt_masks"]
+                n = min(len(m), self.max_gt)
+                if n:
+                    gm[i, :n, :m.shape[1], :m.shape[2]] = m[:n]
+            batch["gt_masks"] = gm
         if "gt_anns_id" in samples[0]:
             ids = np.full((b, self.max_gt), -1, np.int64)
             for i, s in enumerate(samples):

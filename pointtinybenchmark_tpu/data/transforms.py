@@ -83,6 +83,26 @@ class LoadAnnotations:
                  with_mask: bool = False, with_seg: bool = False):
         self.with_bbox = with_bbox
         self.with_label = with_label
+        self.with_mask = with_mask
+
+    @staticmethod
+    def _rasterize(segs, h: int, w: int) -> np.ndarray:
+        """COCO polygon lists -> (G, H, W) uint8 bitmaps (PIL rasterizer)."""
+        from PIL import ImageDraw
+        masks = np.zeros((len(segs), h, w), np.uint8)
+        for i, seg in enumerate(segs):
+            if not seg:
+                continue
+            img = Image.new("L", (w, h), 0)
+            draw = ImageDraw.Draw(img)
+            polys = seg if isinstance(seg, (list, tuple)) and seg and \
+                isinstance(seg[0], (list, tuple)) else [seg]
+            for poly in polys:
+                if poly is None or len(poly) < 6:
+                    continue
+                draw.polygon([float(v) for v in poly], fill=1)
+            masks[i] = np.asarray(img, np.uint8)
+        return masks
 
     def __call__(self, results: dict) -> dict:
         ann = results["ann_info"]
@@ -99,6 +119,10 @@ class LoadAnnotations:
                 results["gt_anns_id"] = ann["anns_id"].copy()
         if self.with_label:
             results["gt_labels"] = ann["labels"].copy()
+        if self.with_mask and "masks" in ann:
+            h, w = results["img"].shape[:2]
+            results["gt_masks"] = self._rasterize(ann["masks"], h, w)
+            results["mask_fields"] = ["gt_masks"]
         return results
 
 
@@ -193,6 +217,14 @@ class Resize:
                 bboxes[:, 0::2] = np.clip(bboxes[:, 0::2], 0, new_w)
                 bboxes[:, 1::2] = np.clip(bboxes[:, 1::2], 0, new_h)
             results[key] = bboxes
+        for key in results.get("mask_fields", []):
+            m = results[key]
+            if m.shape[1:] != (new_h, new_w) and len(m):
+                out = np.zeros((len(m), new_h, new_w), m.dtype)
+                for i in range(len(m)):
+                    out[i] = np.asarray(Image.fromarray(m[i] * 255).resize(
+                        (new_w, new_h), Image.NEAREST)) // 255
+                results[key] = out
         return results
 
 
@@ -221,6 +253,8 @@ class RandomFlip:
                     b[:, 0] = w - results[key][:, 2]
                     b[:, 2] = w - results[key][:, 0]
                     results[key] = b
+                for key in results.get("mask_fields", []):
+                    results[key] = results[key][:, :, ::-1].copy()
             else:
                 results["img"] = img[::-1].copy()
                 for key in results.get("bbox_fields", []):
@@ -228,6 +262,8 @@ class RandomFlip:
                     b[:, 1] = h - results[key][:, 3]
                     b[:, 3] = h - results[key][:, 1]
                     results[key] = b
+                for key in results.get("mask_fields", []):
+                    results[key] = results[key][:, ::-1, :].copy()
         return results
 
 
@@ -268,6 +304,9 @@ class Pad:
         if pad_h or pad_w:
             img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
                          constant_values=self.pad_val)
+            for key in results.get("mask_fields", []):
+                results[key] = np.pad(
+                    results[key], ((0, 0), (0, pad_h), (0, pad_w)))
         results["img"] = img
         results["pad_shape"] = img.shape
         results["pad_fixed_size"] = self.size

@@ -26,11 +26,13 @@ from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
 from .detectors.single_stage import DETR, RepPointsDetector  # noqa: E402
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
-                                  TwoStageDetector)
+                                  MaskRCNN, TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402
 from .roi_heads.cascade_roi_head import CascadeRoIHead  # noqa: E402
+from .roi_heads.mask_head import FCNMaskHead  # noqa: E402
 from .roi_heads.standard_roi_head import StandardRoIHead  # noqa: E402
 
 __all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
             "TwoStageDetector", "FasterRCNN", "CascadeRCNN", "CascadeRoIHead",
+            "MaskRCNN", "FCNMaskHead",
             "Shared2FCBBoxHead", "StandardRoIHead"]

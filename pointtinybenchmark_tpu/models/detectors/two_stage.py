@@ -120,3 +120,10 @@ class FasterRCNN(TwoStageDetector):
 class CascadeRCNN(TwoStageDetector):
     """Cascade R-CNN shell (mmdet models/detectors/cascade_rcnn.py)."""
     pass
+
+
+@DETECTORS.register_module()
+class MaskRCNN(TwoStageDetector):
+    """Mask R-CNN shell (mmdet models/detectors/mask_rcnn.py) — the mask
+    branch lives in StandardRoIHead (mask_head cfg)."""
+    pass

@@ -33,12 +33,16 @@ __all__ = ["StandardRoIHead"]
 class StandardRoIHead(nn.Module):
     bbox_roi_extractor: Optional[dict] = None
     bbox_head: Optional[dict] = None
+    mask_roi_extractor: Optional[dict] = None
+    mask_head: Optional[dict] = None
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.bbox_head_m = build_head(dict(self.bbox_head))
+        self.mask_head_m = (build_head(dict(self.mask_head))
+                            if self.mask_head else None)
 
     # ------------------------------------------------------------- config
     @property
@@ -133,10 +137,10 @@ class StandardRoIHead(nn.Module):
             sel_labels = jnp.where(sel_pos, gtl[safe], nc)
             return (sel_boxes, sel_labels, deltas,
                     sel_pos.astype(jnp.float32),
-                    sel_sampled.astype(jnp.float32))
+                    sel_sampled.astype(jnp.float32), safe)
 
         keys = jax.random.split(rng, b)
-        (roi_boxes, roi_labels, roi_deltas, pos_w, samp_w) = jax.vmap(
+        (roi_boxes, roi_labels, roi_deltas, pos_w, samp_w, gt_idx) = jax.vmap(
             assign_sample)(proposals, prop_valid, gt_bboxes, gt_labels,
                            gt_valid, keys)
 
@@ -172,8 +176,27 @@ class StandardRoIHead(nn.Module):
                                  avg_factor=num_sampled)
         acc = (jnp.argmax(cls_score, -1) == labels_flat).astype(jnp.float32)
         acc = (acc * samp_flat).sum() / num_sampled * 100
-        return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc,
-                "num_pos": pos_flat.sum()}
+        out = {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc,
+               "num_pos": pos_flat.sum()}
+
+        if self.mask_head_m is not None and "gt_masks" in batch:
+            from .mask_head import mask_target
+            mask_size_out = 28
+            mask_feats = self._extract(feats, rois)  # reuse bbox extractor cfg
+            mask_logits = self.mask_head_m(mask_feats)  # (B*S, 2s, 2s, nc)
+            msz = mask_logits.shape[1]
+            targets = mask_target(batch["gt_masks"].astype(jnp.float32),
+                                  rois, gt_idx.reshape(-1), msz)
+            safe_lbl = jnp.clip(labels_flat, 0, nc - 1)
+            logits_cls = jnp.take_along_axis(
+                mask_logits, safe_lbl[:, None, None, None], -1)[..., 0]
+            bce = (jnp.maximum(logits_cls, 0) - logits_cls * targets
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits_cls))))
+            num_pos_m = jnp.maximum(pos_flat.sum(), 1.0)
+            out["loss_mask"] = ((bce.mean(axis=(1, 2)) * pos_flat).sum()
+                                / num_pos_m)
+            del mask_size_out
+        return out
 
     # ------------------------------------------------------------ test
     def simple_test(self, feats, proposals: jnp.ndarray,
@@ -212,5 +235,22 @@ class StandardRoIHead(nn.Module):
 
         sf = (scale_factors if scale_factors is not None
               else jnp.ones((b, 4), jnp.float32))
-        return jax.vmap(single)(proposals, deltas, scores, prop_valid,
+        dets = jax.vmap(single)(proposals, deltas, scores, prop_valid,
                                 img_shapes, sf)
+        if self.mask_head_m is None:
+            return dets
+        # mask branch on the final detections (boxes back in network frame)
+        det_boxes = dets.bboxes[..., :4]
+        if rescale and scale_factors is not None:
+            det_boxes = det_boxes * scale_factors[:, None, :]
+        m = det_boxes.shape[1]
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), m)[:, None]
+        mask_rois = jnp.concatenate(
+            [batch_idx, det_boxes.reshape(b * m, 4)], 1)
+        mask_feats = self._extract(feats, mask_rois)
+        mask_logits = self.mask_head_m(mask_feats)
+        msz = mask_logits.shape[1]
+        safe_lbl = jnp.clip(dets.labels.reshape(-1), 0, nc - 1)
+        masks = jax.nn.sigmoid(jnp.take_along_axis(
+            mask_logits, safe_lbl[:, None, None, None], -1)[..., 0])
+        return dets, masks.reshape(b, m, msz, msz)
