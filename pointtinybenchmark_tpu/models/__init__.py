@@ -1,4 +1,5 @@
 from . import losses  # noqa: F401 — register losses
+from .backbones.darknet import Darknet
 from .backbones.mobilenet_v2 import MobileNetV2
 from .backbones.resnet import ResNet, ResNeXt
 from .builder import (build_backbone, build_detector, build_head, build_model,
@@ -11,12 +12,14 @@ from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.gfl_head import GFLHead
 from .dense_heads.p2p_head import P2PHead
 from .dense_heads.retina_head import RetinaHead
+from .dense_heads.yolo_head import YOLOV3Head, YOLOV3Neck
 from .detectors.single_stage import BasicLocator, SingleStageDetector
 from .necks.fpn import FPN
 from .necks.pafpn import PAFPN
 
 __all__ = [
-    "ResNet", "ResNeXt", "MobileNetV2", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
+    "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
+    "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
     "FCOSHead", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
@@ -24,7 +27,7 @@ __all__ = [
 
 from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
-from .detectors.single_stage import DETR, RepPointsDetector  # noqa: E402
+from .detectors.single_stage import DETR, RepPointsDetector, YOLOV3  # noqa: E402
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   MaskRCNN, TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402

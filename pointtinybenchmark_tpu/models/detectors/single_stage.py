@@ -140,3 +140,9 @@ class RepPointsDetector(SingleStageDetector):
 class DETR(SingleStageDetector):
     """DETR shell (mmdet models/detectors/detr.py)."""
     pass
+
+
+@DETECTORS.register_module()
+class YOLOV3(SingleStageDetector):
+    """YOLOv3 shell (mmdet models/detectors/yolo.py)."""
+    pass

@@ -346,3 +346,38 @@ def test_cascade_rcnn():
     dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 20, 5)
+
+
+def test_yolov3():
+    model = build_detector(
+        dict(type="YOLOV3",
+             backbone=dict(type="Darknet", depth=53, out_indices=(3, 4, 5)),
+             neck=dict(type="YOLOV3Neck", in_channels=[1024, 512, 256],
+                       out_channels=[64, 32, 16]),
+             bbox_head=dict(type="YOLOV3Head", num_classes=2,
+                            in_channels=[64, 32, 16],
+                            out_channels=[128, 64, 32],
+                            strides=[32, 16, 8])),
+        None,
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.45), max_per_img=30))
+    rng = np.random.RandomState(1)
+    bb = rng.rand(2, 5, 4).astype(np.float32) * 60
+    bb[..., 2:] = bb[..., :2] + 12 + rng.rand(2, 5, 2).astype(np.float32) * 40
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 5)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]],
+                                      bool),
+                 img_shape=jnp.asarray([[128, 128], [120, 124]], jnp.int32))
+    img = jnp.asarray(rng.rand(2, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    # best-anchor assignment: exactly one positive per valid gt
+    assert float(losses["num_pos"]) == 5.0
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[128, 128], [120, 124]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 30, 5)
