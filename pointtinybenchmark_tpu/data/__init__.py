@@ -1,6 +1,6 @@
 from . import scale_match, tiling  # noqa: F401 — register pipeline modules
 from .coco import COCO
-from .cocofmt import CocoFmtDataset
+from .cocofmt import CocoFmtDataset, LVISDataset
 from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
                                RepeatDataset)
 from .loader import (DataLoader, DetCollator, EpochSampler, GroupSampler,
@@ -27,5 +27,5 @@ __all__ = [
     "prefetch_to_device",
     "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
     "generate_pseudo_bbox_for_point", "ConcatDataset", "RepeatDataset",
-    "ClassBalancedDataset", "VOCDataset",
+    "ClassBalancedDataset", "VOCDataset", "LVISDataset",
 ]

@@ -288,3 +288,22 @@ class CocoFmtDataset:
         ev.accumulate()
         ev.summarize()
         return ev.stats_dict
+
+
+@DATASETS.register_module()
+class LVISDataset(CocoFmtDataset):
+    """LVIS v1 (mmdet datasets/lvis.py parity): image file names derived
+    from coco_url; categories auto-discovered; federated-evaluation nuances
+    (neg_category_ids) are handled by the standard evaluator here."""
+
+    def load_annotations(self, ann_file):
+        infos = super().load_annotations(ann_file)
+        for info in infos:
+            if "file_name" not in info or not info.get("file_name"):
+                url = info.get("coco_url", "")
+                info["file_name"] = "/".join(url.split("/")[-2:])
+                info["filename"] = info["file_name"]
+            elif info["file_name"].startswith("COCO_"):
+                info["file_name"] = info["file_name"].split("_")[-1]
+                info["filename"] = info["file_name"]
+        return infos
