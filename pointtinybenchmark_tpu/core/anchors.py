@@ -132,3 +132,74 @@ class PointGenerator:
         vx = np.zeros(w, bool); vx[:vw] = True
         vy = np.zeros(h, bool); vy[:vh] = True
         return (vy[:, None] & vx[None, :]).ravel()
+
+
+@ANCHOR_GENERATORS.register_module()
+class SSDAnchorGenerator:
+    """SSD anchor boxes (mmdet core/anchor SSDAnchorGenerator parity,
+    simplified surface: explicit per-level min/max sizes + extra ratios).
+
+    Per level: sizes [min, sqrt(min*max)] at ratio 1, plus (r, 1/r) variants
+    of the min size for each extra ratio.
+    """
+
+    def __init__(self, strides, ratios, min_sizes, max_sizes,
+                 center_offset: float = 0.5):
+        self.strides = [(s, s) if isinstance(s, int) else tuple(s)
+                        for s in strides]
+        self.ratios = [list(r) for r in ratios]
+        self.min_sizes = list(min_sizes)
+        self.max_sizes = list(max_sizes)
+        self.center_offset = center_offset
+        self.base_anchors = [self._level_base(i)
+                             for i in range(len(self.strides))]
+
+    @property
+    def num_levels(self):
+        return len(self.strides)
+
+    @property
+    def num_base_anchors(self):
+        return [len(a) for a in self.base_anchors]
+
+    def _level_base(self, i) -> np.ndarray:
+        mn, mx = self.min_sizes[i], self.max_sizes[i]
+        cx = self.center_offset * self.strides[i][0]
+        cy = self.center_offset * self.strides[i][1]
+        whs = [(mn, mn), (np.sqrt(mn * mx), np.sqrt(mn * mx))]
+        for r in self.ratios[i]:
+            if r == 1:
+                continue
+            sr = np.sqrt(r)
+            whs.append((mn * sr, mn / sr))
+            whs.append((mn / sr, mn * sr))
+        out = []
+        for w, h in whs:
+            out.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+        return np.asarray(out, np.float32)
+
+    def single_level_grid_anchors(self, featmap_size, level) -> np.ndarray:
+        h, w = featmap_size
+        sx, sy = self.strides[level]
+        shift_x = np.arange(w, dtype=np.float32) * sx
+        shift_y = np.arange(h, dtype=np.float32) * sy
+        xx, yy = np.meshgrid(shift_x, shift_y)
+        shifts = np.stack([xx.ravel(), yy.ravel(),
+                           xx.ravel(), yy.ravel()], -1)
+        return (self.base_anchors[level][None] + shifts[:, None]).reshape(-1, 4)
+
+    def grid_anchors(self, featmap_sizes):
+        return [self.single_level_grid_anchors(fs, i)
+                for i, fs in enumerate(featmap_sizes)]
+
+    def valid_flags(self, featmap_sizes, pad_shape):
+        flags = []
+        for i, (h, w) in enumerate(featmap_sizes):
+            sx, sy = self.strides[i]
+            vw = min(int(np.ceil(pad_shape[1] / sx)), w)
+            vh = min(int(np.ceil(pad_shape[0] / sy)), h)
+            vx = np.zeros(w, bool); vx[:vw] = True
+            vy = np.zeros(h, bool); vy[:vh] = True
+            vv = (vy[:, None] & vx[None, :]).ravel()
+            flags.append(np.repeat(vv, self.num_base_anchors[i]))
+        return flags

@@ -27,6 +27,7 @@ __all__ = [
 
 from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
+from .dense_heads.ssd_head import SSDHead  # noqa: E402
 from .detectors.single_stage import DETR, RepPointsDetector, YOLOV3  # noqa: E402
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   MaskRCNN, TwoStageDetector)
@@ -37,5 +38,5 @@ from .roi_heads.standard_roi_head import StandardRoIHead  # noqa: E402
 
 __all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
             "TwoStageDetector", "FasterRCNN", "CascadeRCNN", "CascadeRoIHead",
-            "MaskRCNN", "FCNMaskHead",
+            "MaskRCNN", "FCNMaskHead", "SSDHead",
             "Shared2FCBBoxHead", "StandardRoIHead"]

@@ -58,11 +58,14 @@ class AnchorHead(nn.Module):
         lc = (self.loss_cls or {}).get("type", "CrossEntropyLoss")
         return lc not in ("FocalLoss", "GHMC", "QualityFocalLoss")
 
-    def _build_generator(self) -> AnchorGenerator:
+    def _build_generator(self):
         cfg = dict(self.anchor_generator or dict(
             type="AnchorGenerator", scales=[8], ratios=[0.5, 1.0, 2.0],
             strides=[4, 8, 16, 32, 64]))
-        cfg.pop("type", None)
+        gen_type = cfg.pop("type", "AnchorGenerator")
+        if gen_type == "SSDAnchorGenerator":
+            from ...core.anchors import SSDAnchorGenerator
+            return SSDAnchorGenerator(**cfg)
         return AnchorGenerator(**cfg)
 
     @property

@@ -146,3 +146,9 @@ class DETR(SingleStageDetector):
 class YOLOV3(SingleStageDetector):
     """YOLOv3 shell (mmdet models/detectors/yolo.py)."""
     pass
+
+
+@DETECTORS.register_module()
+class SSD(SingleStageDetector):
+    """SSD shell."""
+    pass

@@ -381,3 +381,48 @@ def test_yolov3():
                           jnp.asarray([[128, 128], [120, 124]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 30, 5)
+
+
+def test_ssd():
+    model = build_detector(
+        dict(type="SSD",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=1, num_outs=3),
+             bbox_head=dict(type="SSDHead", num_classes=2, in_channels=16,
+                            anchor_generator=dict(
+                                type="SSDAnchorGenerator",
+                                strides=[8, 16, 32],
+                                ratios=[[2], [2, 3], [2]],
+                                min_sizes=[16, 32, 64],
+                                max_sizes=[32, 64, 128]),
+                            bbox_coder=dict(
+                                target_means=[0, 0, 0, 0],
+                                target_stds=[0.1, 0.1, 0.2, 0.2]),
+                            loss_bbox=dict(type="SmoothL1Loss", beta=1.0,
+                                           loss_weight=1.0))),
+        dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                           neg_iou_thr=0.5, min_pos_iou=0.0,
+                           ignore_iof_thr=-1, gt_max_assign_all=False),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.02,
+             nms=dict(type="nms", iou_threshold=0.45), max_per_img=30))
+    rng = np.random.RandomState(1)
+    bb = rng.rand(2, 5, 4).astype(np.float32) * 40
+    bb[..., 2:] = bb[..., :2] + 16 + rng.rand(2, 5, 2).astype(np.float32) * 30
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 5)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]],
+                                      bool),
+                 img_shape=jnp.asarray([[128, 128], [120, 124]], jnp.int32))
+    img = jnp.asarray(rng.rand(2, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) > 0
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[128, 128], [120, 124]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 30, 5)
