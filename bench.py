@@ -29,7 +29,7 @@ def main():
 
     # production serving config: bfloat16 compute (MXU-native), f32 params
     model = _flagship(tiny=False, dtype="bfloat16")
-    batch = 8
+    batch = 16
     img = jnp.asarray(np.random.RandomState(0).rand(batch, 512, 640, 3),
                       jnp.float32)
     img_shape = jnp.tile(jnp.asarray([[512, 640]], jnp.int32), (batch, 1))
