@@ -170,6 +170,31 @@ class AnchorHead(nn.Module):
         labels, label_weights, bbox_targets, pos_mask = self.get_targets(
             anchors, anchor_valid, batch)
 
+        # sampling losses (RPN CE): apply the RandomSampler budgets
+        # (reference: 256 anchors @ pos_fraction 0.5 — see
+        # faster_rcnn config train_cfg.rpn.sampler). Focal-style heads keep
+        # every anchor (sampling=False).
+        if self.sampling and (self.train_cfg or {}).get("sampler"):
+            from ...core.samplers import RandomSampler
+            scfg = dict(self.train_cfg["sampler"])
+            sampler = RandomSampler(
+                num=int(scfg.get("num", 256)),
+                pos_fraction=float(scfg.get("pos_fraction", 0.5)),
+                neg_pos_ub=int(scfg.get("neg_pos_ub", -1)))
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            keys = jax.random.split(rng, b)
+
+            def sample_one(key, lbls, lw, pos):
+                assigned = jnp.where(pos > 0, 1, jnp.where(lw > 0, 0, -1))
+                res = sampler.sample(key, assigned, lbls)
+                keep = res.pos_mask | res.neg_mask
+                return (lw * keep.astype(jnp.float32),
+                        pos * res.pos_mask.astype(jnp.float32))
+
+            label_weights, pos_mask = jax.vmap(sample_one)(
+                keys, labels, label_weights, pos_mask)
+
         num_pos = jnp.maximum(pos_mask.sum(), 1.0)
         if self.sampling:
             num_total = jnp.maximum((label_weights > 0).sum(), 1.0)

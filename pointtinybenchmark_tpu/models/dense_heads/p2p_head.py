@@ -153,7 +153,8 @@ class P2PHead(nn.Module):
         cfg.pop("type", None)
         return HungarianAssignerV2(**cfg)
 
-    def loss(self, cls_outs, pts_outs, batch: Dict[str, jnp.ndarray]):
+    def loss(self, cls_outs, pts_outs, batch: Dict[str, jnp.ndarray],
+             rng=None):
         """Compute losses for a padded batch.
 
         batch keys: gt_bboxes (B, G, 4), gt_labels (B, G), gt_valid (B, G),

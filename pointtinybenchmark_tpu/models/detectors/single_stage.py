@@ -58,7 +58,8 @@ class SingleStageDetector(nn.Module):
         # image tensor — never a traced value.
         batch = dict(batch)
         batch["pad_shape"] = (img.shape[1], img.shape[2])
-        return self.bbox_head_m.loss(*outs, batch)
+        rng = self.make_rng("sampler") if self.has_rng("sampler") else None
+        return self.bbox_head_m.loss(*outs, batch, rng=rng)
 
     def simple_test(self, img: jnp.ndarray, img_shapes,
                     scale_factors=None, rescale: bool = False):

@@ -76,7 +76,9 @@ class TwoStageDetector(nn.Module):
         # RPN trains class-agnostic: every valid gt is class 0
         rpn_batch = dict(batch)
         rpn_batch["gt_labels"] = jnp.zeros_like(batch["gt_labels"])
-        rpn_losses = self.rpn_head_m.loss(*rpn_outs, rpn_batch)
+        rpn_rng = (self.make_rng("sampler") if self.has_rng("sampler")
+                   else jax.random.PRNGKey(1))
+        rpn_losses = self.rpn_head_m.loss(*rpn_outs, rpn_batch, rng=rpn_rng)
         rpn_losses = {f"loss_rpn_{k.split('loss_')[-1]}" if k.startswith("loss")
                       else f"rpn_{k}": v for k, v in rpn_losses.items()}
 
