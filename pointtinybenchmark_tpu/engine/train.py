@@ -123,7 +123,10 @@ def train_detector(model, dataset, cfg, work_dir: str,
     shuffle = data_cfg.get("shuffle")
     loader = DataLoader(dataset, global_batch, collator,
                         shuffle=True if shuffle is None else bool(shuffle),
-                        seed=seed)
+                        seed=seed,
+                        # variable image sizes: aspect grouping keeps the
+                        # max-in-batch padding small (GroupSampler parity)
+                        group_by_aspect=loader_cfg.get("pad_shape") is None)
     iters_per_epoch = len(loader)
 
     runner_cfg = cfg.get("runner", dict(type="EpochBasedRunner", max_epochs=12))

@@ -157,3 +157,58 @@ def test_analyze_logs(tmp_path):
         assert (tmp_path / "c.png").exists()
     finally:
         sys.argv = old_argv
+
+
+def test_run_tta_test(tiny_workspace):
+    """TTA merge loop: flip views map back and merge without error."""
+    import jax
+    import jax.numpy as jnp
+    from pointtinybenchmark_tpu.data import (CocoFmtDataset, DetCollator)
+    from pointtinybenchmark_tpu.engine import run_tta_test
+    from pointtinybenchmark_tpu.models import build_detector
+    from pointtinybenchmark_tpu.utils import Config
+    cfg = Config.fromfile(tiny_workspace["cfg"])
+    pipeline = [
+        dict(type="LoadImageFromFile"),
+        dict(type="MultiScaleFlipAug", scale_factor=[1.0], flip=True,
+             transforms=[
+                 dict(type="Resize", keep_ratio=True),
+                 dict(type="RandomFlip"),
+                 dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+                      std=[58.395, 57.12, 57.375]),
+                 dict(type="Pad", size_divisor=32),
+                 dict(type="Collect", keys=["img"]),
+             ]),
+    ]
+    ds_cfg = dict(cfg.data["test"])
+    ds_cfg["pipeline"] = pipeline
+    ds_cfg["test_mode"] = True
+    ds_cfg.pop("type")
+    dataset = CocoFmtDataset(**ds_cfg)
+    model = build_detector(dict(cfg.model), cfg.get("train_cfg"),
+                           cfg.get("test_cfg"))
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    state = dict(params=variables["params"],
+                 batch_stats=variables.get("batch_stats", {}))
+    collator = DetCollator(pad_shape=(64, 96), max_gt=10)
+    results = run_tta_test(model, state, dataset, collator)
+    assert len(results) == len(dataset)
+    assert all("bboxes" in r for r in results)
+
+
+def test_lvis_dataset_filename_mapping(tmp_path):
+    import json
+    from pointtinybenchmark_tpu.data import LVISDataset
+    ds = dict(images=[dict(id=1, coco_url="http://images.cocodataset.org/"
+                           "val2017/000000000139.jpg",
+                           width=64, height=64)],
+              annotations=[dict(id=1, image_id=1, category_id=1,
+                                bbox=[1.0, 1.0, 10.0, 10.0], area=100.0,
+                                iscrowd=0)],
+              categories=[dict(id=1, name="a")])
+    f = tmp_path / "lvis.json"
+    with open(f, "w") as fh:
+        json.dump(ds, fh)
+    d = LVISDataset(ann_file=str(f), pipeline=[], test_mode=True)
+    assert d.data_infos[0]["file_name"] == "val2017/000000000139.jpg"
