@@ -6,6 +6,8 @@ from .builder import (build_backbone, build_detector, build_head, build_model,
                       build_neck)
 from .dense_heads.anchor_head import AnchorHead
 from .dense_heads.atss_head import ATSSHead
+from .dense_heads.centernet_head import (CenterNetHead, CTResNetNeck,
+                                         GaussianFocalLoss)
 from .dense_heads.cpr_head import CascadeCPRHead, CPRHead
 from .dense_heads.detr_head import DETRHead
 from .dense_heads.fcos_head import FCOSHead
@@ -19,7 +21,8 @@ from .necks.pafpn import PAFPN
 
 __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
-    "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
+    "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
+    "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
     "FCOSHead", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
@@ -28,7 +31,8 @@ __all__ = [
 from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
 from .dense_heads.ssd_head import SSDHead  # noqa: E402
-from .detectors.single_stage import DETR, RepPointsDetector, YOLOV3  # noqa: E402
+from .detectors.single_stage import (CenterNet, DETR,  # noqa: E402
+                                     RepPointsDetector, YOLOV3)
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   MaskRCNN, TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402

@@ -153,3 +153,9 @@ class YOLOV3(SingleStageDetector):
 class SSD(SingleStageDetector):
     """SSD shell."""
     pass
+
+
+@DETECTORS.register_module()
+class CenterNet(SingleStageDetector):
+    """CenterNet shell (mmdet models/detectors/centernet.py)."""
+    pass

@@ -426,3 +426,46 @@ def test_ssd():
                           jnp.asarray([[128, 128], [120, 124]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 30, 5)
+
+
+def test_centernet():
+    from pointtinybenchmark_tpu.models import CenterNetHead
+    # gaussian targets: center pixel exactly 1, wh/offset recorded
+    head = CenterNetHead(num_classes=2, in_channels=16, stride=4)
+    bb = jnp.asarray([[8.0, 8.0, 24.0, 24.0]])
+    hm, wh_t, off_t, mask = head._targets((16, 16), bb,
+                                          jnp.asarray([1]),
+                                          jnp.asarray([True]))
+    assert float(hm.max()) == 1.0
+    assert float(hm[:, :, 0].max()) < 1.0  # class 0 channel has no center
+    assert float(mask.sum()) == 1.0
+    cy, cx = 4, 4  # center (16,16)/4
+    np.testing.assert_allclose(np.asarray(wh_t)[cy, cx], [4.0, 4.0])
+
+    model = build_detector(
+        dict(type="CenterNet",
+             backbone=dict(type="ResNet", depth=18, base_channels=8,
+                           out_indices=(3,)),
+             neck=dict(type="CTResNetNeck", in_channels=64,
+                       num_deconv_filters=[32, 16, 16]),
+             bbox_head=dict(type="CenterNetHead", num_classes=2,
+                            in_channels=16, feat_channels=16, stride=4)),
+        None, dict(topk=20, score_thr=0.05))
+    rng = np.random.RandomState(1)
+    bb = rng.rand(2, 5, 4).astype(np.float32) * 30
+    bb[..., 2:] = bb[..., :2] + 8 + rng.rand(2, 5, 2).astype(np.float32) * 20
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 5)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]],
+                                      bool),
+                 img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) == 5.0
+    dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
