@@ -96,6 +96,9 @@ class CocoFmtDataset:
         infos = []
         for i in self.img_ids:
             info = self.coco.load_imgs([i])[0]
+            if "file_name" not in info:  # LVIS-style: derive from coco_url
+                info["file_name"] = "/".join(
+                    info.get("coco_url", "").split("/")[-2:])
             info["filename"] = info["file_name"]
             infos.append(info)
         return infos

@@ -84,6 +84,60 @@ def frozen_param_mask(params, frozen_stages: int,
         lambda path, _: trainable(path), params)
 
 
+def _paramwise_mults_fn(paramwise_cfg: dict):
+    """Per-leaf (lr_mult, decay_mult) from a path — mmcv
+    DefaultOptimizerConstructor semantics (custom_keys longest-match first,
+    then norm decay mult, then bias lr/decay mult). Names here are flax
+    paths ("backbone_m.layer1_0.conv1.kernel"), so custom_keys substrings
+    like 'backbone' still match."""
+    custom = {k: dict(v)
+              for k, v in (paramwise_cfg.get("custom_keys") or {}).items()}
+    keys_sorted = sorted(custom, key=len, reverse=True)
+    bias_lr_mult = float(paramwise_cfg.get("bias_lr_mult", 1.0))
+    bias_decay_mult = float(paramwise_cfg.get("bias_decay_mult", 1.0))
+    norm_decay_mult = float(paramwise_cfg.get("norm_decay_mult", 1.0))
+
+    def mults(path):
+        name = ".".join(str(getattr(p, "key", p)) for p in path)
+        for k in keys_sorted:
+            if k in name:
+                return (float(custom[k].get("lr_mult", 1.0)),
+                        float(custom[k].get("decay_mult", 1.0)))
+        low = name.lower()
+        if any(t in low for t in ("batchnorm", "groupnorm", "layernorm",
+                                  ".norm", "_bn")):
+            return 1.0, norm_decay_mult
+        if name.endswith("bias"):
+            return bias_lr_mult, bias_decay_mult
+        return 1.0, 1.0
+
+    return mults
+
+
+def _paramwise_lr_scale(mults) -> optax.GradientTransformation:
+    import jax
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map_with_path(
+            lambda p, u: u * mults(p)[0], updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(),
+                                        update_fn)
+
+
+def _paramwise_decay(wd: float, mults) -> optax.GradientTransformation:
+    import jax
+
+    def update_fn(updates, state, params):
+        new = jax.tree_util.tree_map_with_path(
+            lambda path, u, p: u + wd * mults(path)[1] * p, updates, params)
+        return new, state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(),
+                                        update_fn)
+
+
 def build_optimizer(optimizer_cfg: dict,
                     optimizer_config: Optional[dict] = None,
                     lr_config: Optional[dict] = None,
@@ -93,6 +147,11 @@ def build_optimizer(optimizer_cfg: dict,
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop("type", "SGD")
     base_lr = float(cfg.pop("lr"))
+    paramwise_cfg = cfg.pop("paramwise_cfg", None)
+    if paramwise_cfg:
+        return _build_paramwise(opt_type, base_lr, cfg, dict(paramwise_cfg),
+                                optimizer_config, lr_config, iters_per_epoch,
+                                max_epochs, param_mask)
     schedule = build_lr_schedule(base_lr, lr_config, iters_per_epoch,
                                  max_epochs)
 
@@ -118,6 +177,10 @@ def build_optimizer(optimizer_cfg: dict,
     else:
         raise ValueError(f"unsupported optimizer type {opt_type}")
     tx = optax.chain(*chain)
+    return _apply_frozen(tx, param_mask)
+
+
+def _apply_frozen(tx, param_mask):
     if param_mask is not None:
         import jax
         # zero updates for frozen params (reference requires_grad=False)
@@ -125,3 +188,42 @@ def build_optimizer(optimizer_cfg: dict,
                   jax.tree_util.tree_map(lambda t: not t, param_mask))
         tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
     return tx
+
+
+def _build_paramwise(opt_type, base_lr, cfg, paramwise_cfg, optimizer_config,
+                     lr_config, iters_per_epoch, max_epochs, param_mask):
+    """paramwise_cfg path: decompose the optimizer so lr_mult scales the
+    final update and decay_mult scales the weight-decay term per leaf —
+    mmcv DefaultOptimizerConstructor parity (torch param-group semantics).
+
+    torch ordering is preserved: SGD/Adam add wd*p to the gradient BEFORE
+    the momentum/adam statistics; AdamW decays decoupled, after adam."""
+    mults = _paramwise_mults_fn(paramwise_cfg)
+    schedule = build_lr_schedule(base_lr, lr_config, iters_per_epoch,
+                                 max_epochs)
+    wd = float(cfg.pop("weight_decay", 0.0))
+    chain = []
+    grad_clip = (optimizer_config or {}).get("grad_clip")
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(float(grad_clip["max_norm"])))
+    if opt_type == "SGD":
+        if wd:
+            chain.append(_paramwise_decay(wd, mults))
+        momentum = float(cfg.pop("momentum", 0.0))
+        if momentum:
+            chain.append(optax.trace(decay=momentum,
+                                     nesterov=bool(cfg.pop("nesterov",
+                                                           False))))
+    elif opt_type in ("Adam", "AdamW"):
+        betas = cfg.pop("betas", (0.9, 0.999))
+        if opt_type == "Adam" and wd:
+            chain.append(_paramwise_decay(wd, mults))
+        chain.append(optax.scale_by_adam(b1=float(betas[0]),
+                                         b2=float(betas[1])))
+        if opt_type == "AdamW" and wd:
+            chain.append(_paramwise_decay(wd, mults))
+    else:
+        raise ValueError(f"unsupported optimizer type {opt_type}")
+    chain.append(_paramwise_lr_scale(mults))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return _apply_frozen(optax.chain(*chain), param_mask)

@@ -152,3 +152,55 @@ def test_frozen_param_mask():
     assert mask["backbone_m"]["layer1_block0"]["Conv_0"]["kernel"] is False
     assert mask["backbone_m"]["layer2_block0"]["Conv_0"]["kernel"] is True
     assert mask["neck_m"]["Conv_0"]["kernel"] is True
+
+
+def test_paramwise_cfg():
+    """mmcv DefaultOptimizerConstructor parity: custom_keys lr_mult scales
+    the update; bias_lr_mult applies to non-norm biases; norm_decay_mult
+    kills weight decay on norm params."""
+    import jax
+    import jax.numpy as jnp
+    from pointtinybenchmark_tpu.engine.optimizer import build_optimizer
+
+    params = {
+        "backbone_m": {"conv1": {"kernel": jnp.ones((2, 2))}},
+        "head": {"conv": {"kernel": jnp.ones((2, 2)),
+                          "bias": jnp.ones((2,))},
+                 "BatchNorm_0": {"scale": jnp.ones((2,))}},
+    }
+    tx = build_optimizer(
+        dict(type="SGD", lr=1.0, momentum=0.0, weight_decay=0.0,
+             paramwise_cfg=dict(
+                 custom_keys={"backbone": dict(lr_mult=0.1)},
+                 bias_lr_mult=2.0)))
+    st = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(g, st, params)
+    np.testing.assert_allclose(
+        np.asarray(upd["backbone_m"]["conv1"]["kernel"]), -0.1)
+    np.testing.assert_allclose(np.asarray(upd["head"]["conv"]["bias"]), -2.0)
+    np.testing.assert_allclose(np.asarray(upd["head"]["conv"]["kernel"]),
+                               -1.0)
+
+    # decay_mult: norm params exempt from wd, others decayed (grad=0 probe)
+    tx = build_optimizer(
+        dict(type="SGD", lr=1.0, weight_decay=0.5,
+             paramwise_cfg=dict(norm_decay_mult=0.0)))
+    st = tx.init(params)
+    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd, _ = tx.update(z, st, params)
+    np.testing.assert_allclose(
+        np.asarray(upd["head"]["BatchNorm_0"]["scale"]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(upd["head"]["conv"]["kernel"]), -0.5)
+
+    # AdamW decoupled decay composes with custom_keys lr_mult
+    tx = build_optimizer(
+        dict(type="AdamW", lr=1e-2, weight_decay=1e-4,
+             paramwise_cfg=dict(
+                 custom_keys={"backbone": dict(lr_mult=0.1)})))
+    st = tx.init(params)
+    upd, _ = tx.update(g, st, params)
+    r = (np.asarray(upd["backbone_m"]["conv1"]["kernel"])
+         / np.asarray(upd["head"]["conv"]["kernel"]))
+    np.testing.assert_allclose(r, 0.1, rtol=1e-5)
