@@ -20,6 +20,7 @@ __all__ = [
     "bbox2delta", "delta2bbox", "distance2bbox", "bbox2distance",
     "xyxy2cxcywh", "cxcywh2xyxy", "bbox_flip", "bbox_mapping_tile",
     "bbox_mapping_back_tile", "bbox_rescale", "bbox_clip", "bbox2roi",
+    "bbox2tblr", "tblr2bbox",
 ]
 
 
@@ -178,3 +179,41 @@ def bbox2roi(bbox_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
         idx = jnp.full((b.shape[0], 1), float(i), b.dtype)
         rois.append(jnp.concatenate([idx, b[:, :4]], axis=1))
     return jnp.concatenate(rois, axis=0)
+
+
+def bbox2tblr(priors: jnp.ndarray, gts: jnp.ndarray,
+              normalizer: float = 4.0,
+              normalize_by_wh: bool = True) -> jnp.ndarray:
+    """TBLR encode (mmdet core/bbox/coder/tblr_bbox_coder.py:52-100):
+    distances from the prior center to the gt's four sides, optionally
+    normalized by the prior's h (t, b) and w (l, r)."""
+    px = (priors[..., 0] + priors[..., 2]) * 0.5
+    py = (priors[..., 1] + priors[..., 3]) * 0.5
+    t = py - gts[..., 1]
+    b = gts[..., 3] - py
+    l = px - gts[..., 0]
+    r = gts[..., 2] - px
+    out = jnp.stack([t, b, l, r], -1) / normalizer
+    if normalize_by_wh:
+        w = jnp.clip(priors[..., 2] - priors[..., 0], 1e-6, None)
+        h = jnp.clip(priors[..., 3] - priors[..., 1], 1e-6, None)
+        out = out / jnp.stack([h, h, w, w], -1)
+    return out
+
+
+def tblr2bbox(priors: jnp.ndarray, tblr: jnp.ndarray,
+              normalizer: float = 4.0, normalize_by_wh: bool = True,
+              max_shape=None) -> jnp.ndarray:
+    """TBLR decode (mmdet tblr_bbox_coder.py:103-160)."""
+    loc = tblr * normalizer
+    if normalize_by_wh:
+        w = jnp.clip(priors[..., 2] - priors[..., 0], 1e-6, None)
+        h = jnp.clip(priors[..., 3] - priors[..., 1], 1e-6, None)
+        loc = loc * jnp.stack([h, h, w, w], -1)
+    px = (priors[..., 0] + priors[..., 2]) * 0.5
+    py = (priors[..., 1] + priors[..., 3]) * 0.5
+    boxes = jnp.stack([px - loc[..., 2], py - loc[..., 0],
+                       px + loc[..., 3], py + loc[..., 1]], -1)
+    if max_shape is not None:
+        boxes = bbox_clip(boxes, max_shape)
+    return boxes

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..utils.registry import BBOX_SAMPLERS
 
-__all__ = ["SamplingResult", "RandomSampler", "PseudoSampler", "random_topk_mask"]
+__all__ = ["SamplingResult", "RandomSampler", "PseudoSampler",
+           "OHEMSampler", "random_topk_mask"]
 
 
 class SamplingResult(NamedTuple):
@@ -90,3 +91,54 @@ class PseudoSampler:
     def sample(self, key, assigned_gt_inds, labels) -> SamplingResult:
         return SamplingResult(assigned_gt_inds > 0, assigned_gt_inds == 0,
                               assigned_gt_inds, labels)
+
+
+@BBOX_SAMPLERS.register_module()
+class OHEMSampler:
+    """Online hard example mining (mmdet core/bbox/samplers/ohem_sampler.py).
+
+    The reference runs the bbox head on all candidates and keeps the
+    highest-loss positives/negatives. Here the caller supplies a per-
+    candidate loss vector (e.g. unreduced cls loss over every RoI/anchor)
+    and selection is a deterministic top-k on loss — static shapes, no
+    host round-trip. Without a loss it degrades to RandomSampler.
+    """
+
+    def __init__(self, num: int, pos_fraction: float, neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True, **kwargs):
+        self.num = num
+        self.pos_fraction = pos_fraction
+        self.neg_pos_ub = neg_pos_ub
+        self.add_gt_as_proposals = add_gt_as_proposals
+
+    def sample(self, key: jax.Array, assigned_gt_inds: jnp.ndarray,
+               labels: jnp.ndarray, loss: jnp.ndarray = None
+               ) -> SamplingResult:
+        if loss is None:
+            return RandomSampler(self.num, self.pos_fraction,
+                                 self.neg_pos_ub).sample(
+                key, assigned_gt_inds, labels)
+        n = assigned_gt_inds.shape[0]
+        pos_cand = assigned_gt_inds > 0
+        neg_cand = assigned_gt_inds == 0
+        num_pos_budget = int(self.num * self.pos_fraction)
+
+        def topk_by_loss(cand, budget):
+            pr = jnp.where(cand, loss, -jnp.inf)
+            order = jnp.argsort(-pr)
+            rank = jnp.zeros((n,), jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32))
+            return cand, rank
+
+        pos_cand, pos_rank = topk_by_loss(pos_cand, num_pos_budget)
+        pos_mask = pos_cand & (pos_rank < num_pos_budget)
+        num_pos = jnp.sum(pos_mask.astype(jnp.int32))
+        num_neg_budget = self.num - num_pos_budget
+        if self.neg_pos_ub >= 0:
+            neg_allow = jnp.minimum(num_neg_budget,
+                                    self.neg_pos_ub * jnp.maximum(num_pos, 1))
+        else:
+            neg_allow = jnp.asarray(num_neg_budget)
+        neg_cand, neg_rank = topk_by_loss(neg_cand, num_neg_budget)
+        neg_mask = neg_cand & (neg_rank < neg_allow)
+        return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)

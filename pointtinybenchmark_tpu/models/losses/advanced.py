@@ -1,0 +1,113 @@
+"""Varifocal and gradient-harmonized losses.
+
+Parity targets:
+- VarifocalLoss — reference mmdet/models/losses/varifocal_loss.py:10-56
+  (IoU-weighted positives, alpha-scaled focal negatives over BCE logits).
+- GHMC / GHMR — reference mmdet/models/losses/ghm_loss.py:20-172. The
+  reference's per-bin Python loop is replaced by a one-hot bincount, so the
+  whole weighting is a few vectorized ops under jit. `momentum > 0`
+  (EMA bin counts) would need mutable state under jit; this implementation
+  uses the current-batch histogram (exact for the default momentum=0) and
+  documents the deviation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.registry import LOSSES
+
+__all__ = ["VarifocalLoss", "GHMC", "GHMR"]
+
+
+def _bce_with_logits(pred, target):
+    return jnp.clip(pred, 0, None) - pred * target + \
+        jnp.log1p(jnp.exp(-jnp.abs(pred)))
+
+
+@LOSSES.register_module()
+class VarifocalLoss:
+    """target is the IoU-aware classification score (0 for negatives)."""
+
+    def __init__(self, use_sigmoid: bool = True, alpha: float = 0.75,
+                 gamma: float = 2.0, iou_weighted: bool = True,
+                 loss_weight: float = 1.0):
+        assert use_sigmoid
+        self.alpha = alpha
+        self.gamma = gamma
+        self.iou_weighted = iou_weighted
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        p = jax.nn.sigmoid(pred)
+        pos = (target > 0.0).astype(pred.dtype)
+        neg_w = self.alpha * jnp.abs(p - target) ** self.gamma * (1 - pos)
+        focal_w = (target * pos if self.iou_weighted else pos) + neg_w
+        loss = _bce_with_logits(pred, target) * focal_w
+        if weight is not None:
+            loss = loss * weight
+        loss = loss.sum()
+        if avg_factor is not None:
+            loss = loss / jnp.maximum(avg_factor, 1.0)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class GHMC:
+    """Gradient-harmonized BCE. pred (N, C) logits, target (N, C) binary,
+    label_weight (N, C) validity."""
+
+    def __init__(self, bins: int = 10, momentum: float = 0.0,
+                 use_sigmoid: bool = True, loss_weight: float = 1.0):
+        assert use_sigmoid
+        self.bins = bins
+        self.momentum = momentum  # batch-local histogram (see module doc)
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, label_weight):
+        target = target.astype(pred.dtype)
+        valid = label_weight > 0
+        tot = jnp.maximum(valid.sum().astype(pred.dtype), 1.0)
+        g = jax.lax.stop_gradient(jnp.abs(jax.nn.sigmoid(pred) - target))
+        bin_idx = jnp.clip((g * self.bins).astype(jnp.int32), 0,
+                           self.bins - 1)
+        onehot = jax.nn.one_hot(bin_idx, self.bins, dtype=pred.dtype) \
+            * valid.astype(pred.dtype)[..., None]
+        counts = onehot.reshape(-1, self.bins).sum(0)          # (bins,)
+        n_valid_bins = jnp.maximum((counts > 0).sum().astype(pred.dtype),
+                                   1.0)
+        w = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
+        weights = w[bin_idx] * valid.astype(pred.dtype) / n_valid_bins
+        loss = (_bce_with_logits(pred, target) * weights).sum() / tot
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class GHMR:
+    """Gradient-harmonized smooth-L1 (ASL1) regression loss."""
+
+    def __init__(self, mu: float = 0.02, bins: int = 10,
+                 momentum: float = 0.0, loss_weight: float = 1.0):
+        self.mu = mu
+        self.bins = bins
+        self.momentum = momentum
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, label_weight, avg_factor=None):
+        mu = self.mu
+        diff = pred - target
+        loss = jnp.sqrt(diff * diff + mu * mu) - mu
+        g = jax.lax.stop_gradient(
+            jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff)))
+        valid = label_weight > 0
+        tot = jnp.maximum(valid.sum().astype(pred.dtype), 1.0)
+        bin_idx = jnp.clip((g * self.bins).astype(jnp.int32), 0,
+                           self.bins - 1)
+        onehot = jax.nn.one_hot(bin_idx, self.bins, dtype=pred.dtype) \
+            * valid.astype(pred.dtype)[..., None]
+        counts = onehot.reshape(-1, self.bins).sum(0)
+        n_valid_bins = jnp.maximum((counts > 0).sum().astype(pred.dtype),
+                                   1.0)
+        w = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
+        weights = w[bin_idx] * valid.astype(pred.dtype) / n_valid_bins
+        return self.loss_weight * (loss * weights).sum() / tot

@@ -220,3 +220,33 @@ def test_pseudo_sampler():
     res = PseudoSampler().sample(None, assigned, jnp.asarray([-1, 0, -1, 1]))
     assert res.pos_mask.tolist() == [False, True, False, True]
     assert res.neg_mask.tolist() == [True, False, False, False]
+
+
+def test_ohem_sampler_picks_hardest():
+    from pointtinybenchmark_tpu.core.samplers import OHEMSampler
+    import jax
+    n = 20
+    assigned = jnp.asarray([1] * 4 + [0] * 16, jnp.int32)
+    labels = jnp.where(assigned > 0, 0, -1)
+    loss = jnp.arange(n, 0, -1).astype(jnp.float32)  # first = hardest
+    s = OHEMSampler(num=8, pos_fraction=0.25)
+    res = s.sample(jax.random.PRNGKey(0), assigned, labels, loss=loss)
+    pos = np.where(np.asarray(res.pos_mask))[0]
+    neg = np.where(np.asarray(res.neg_mask))[0]
+    np.testing.assert_array_equal(pos, [0, 1])       # 2 hardest positives
+    np.testing.assert_array_equal(neg, [4, 5, 6, 7, 8, 9])  # 6 hardest negs
+    # no loss -> random fallback still respects budgets
+    res = s.sample(jax.random.PRNGKey(0), assigned, labels)
+    assert int(np.asarray(res.pos_mask).sum()) <= 2
+    assert int(np.asarray(res.neg_mask).sum()) <= 6
+
+
+def test_tblr_coder_roundtrip():
+    from pointtinybenchmark_tpu.core.bbox import bbox2tblr, tblr2bbox
+    rng = np.random.RandomState(0)
+    priors = rng.rand(12, 4).astype(np.float32) * 50
+    priors[:, 2:] = priors[:, :2] + 10 + rng.rand(12, 2).astype(np.float32) * 40
+    gts = priors + rng.randn(12, 4).astype(np.float32) * 3
+    enc = bbox2tblr(jnp.asarray(priors), jnp.asarray(gts))
+    dec = tblr2bbox(jnp.asarray(priors), enc)
+    np.testing.assert_allclose(np.asarray(dec), gts, atol=1e-4)

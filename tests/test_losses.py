@@ -158,3 +158,62 @@ def test_weighted_hausdorff_distance():
     bad = float(weighted_hausdorff_distance(p_bad, grid, gt, valid, 12.0))
     assert good < bad
     assert good < 1.0
+
+
+def test_varifocal_loss_matches_reference_formula():
+    from pointtinybenchmark_tpu.models.losses import VarifocalLoss
+    rng = np.random.RandomState(3)
+    pred = rng.randn(30, 4).astype(np.float32) * 2
+    target = np.zeros((30, 4), np.float32)
+    target[np.arange(10), rng.randint(0, 4, 10)] = rng.rand(10)
+    tp, tt = torch.from_numpy(pred), torch.from_numpy(target)
+    ps = tp.sigmoid()
+    alpha, gamma = 0.75, 2.0
+    fw = tt * (tt > 0).float() + alpha * (ps - tt).abs().pow(gamma) * (tt <= 0).float()
+    want = (F.binary_cross_entropy_with_logits(tp, tt, reduction="none")
+            * fw).sum().numpy()
+    got = VarifocalLoss()(jnp.asarray(pred), jnp.asarray(target))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_ghmc_matches_reference_loop():
+    from pointtinybenchmark_tpu.models.losses import GHMC
+    rng = np.random.RandomState(4)
+    pred = rng.randn(50, 3).astype(np.float32) * 2
+    target = (rng.rand(50, 3) > 0.7).astype(np.float32)
+    lw = (rng.rand(50, 3) > 0.1).astype(np.float32)
+    # reference per-bin loop (mmdet ghm_loss.py GHMC.forward, momentum=0)
+    bins = 10
+    edges = np.arange(bins + 1) / bins
+    edges[-1] += 1e-6
+    tp = torch.from_numpy(pred)
+    tt = torch.from_numpy(target)
+    g = (tp.sigmoid().detach() - tt).abs().numpy()
+    valid = lw > 0
+    tot = max(valid.sum(), 1.0)
+    weights = np.zeros_like(pred)
+    n = 0
+    for i in range(bins):
+        inds = (g >= edges[i]) & (g < edges[i + 1]) & valid
+        num = inds.sum()
+        if num > 0:
+            weights[inds] = tot / num
+            n += 1
+    if n > 0:
+        weights = weights / n
+    want = (F.binary_cross_entropy_with_logits(
+        tp, tt, reduction="none").numpy() * weights).sum() / tot
+    got = GHMC()(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(lw))
+    np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+
+def test_ghmr_runs_and_harmonizes():
+    from pointtinybenchmark_tpu.models.losses import GHMR
+    rng = np.random.RandomState(5)
+    pred = jnp.asarray(rng.randn(40, 4).astype(np.float32))
+    target = jnp.asarray(rng.randn(40, 4).astype(np.float32))
+    lw = jnp.ones((40, 4))
+    loss = GHMR()(pred, target, lw)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # zero validity -> zero loss
+    assert float(GHMR()(pred, target, jnp.zeros((40, 4)))) == 0.0
