@@ -212,3 +212,42 @@ def test_lvis_dataset_filename_mapping(tmp_path):
         json.dump(ds, fh)
     d = LVISDataset(ann_file=str(f), pipeline=[], test_mode=True)
     assert d.data_infos[0]["file_name"] == "val2017/000000000139.jpg"
+
+
+def test_coco_error_analysis(tmp_path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "cea", osp.join(TOOLS, "analysis_tools", "coco_error_analysis.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rng = np.random.RandomState(0)
+    images, anns, dets, aid = [], [], [], 1
+    for i in range(3):
+        images.append(dict(id=i + 1, file_name=f"{i}.jpg",
+                           width=100, height=100))
+        for _ in range(3):
+            x, y = [int(v) for v in rng.randint(0, 60, 2)]
+            w, h = [int(v) for v in rng.randint(8, 30, 2)]
+            cat = int(rng.choice([1, 2]))
+            anns.append(dict(id=aid, image_id=i + 1, category_id=cat,
+                             bbox=[float(x), float(y), float(w), float(h)],
+                             area=float(w * h), iscrowd=0))
+            dets.append(dict(image_id=i + 1, category_id=cat,
+                             bbox=[float(x + 2), float(y + 1),
+                                   float(w), float(h)],
+                             score=float(rng.rand() * 0.5 + 0.5)))
+            aid += 1
+    gtf = dict(images=images, annotations=anns,
+               categories=[dict(id=1, name="a", supercategory="s"),
+                           dict(id=2, name="b", supercategory="s")])
+    gt_p, dt_p = tmp_path / "gt.json", tmp_path / "dt.json"
+    with open(gt_p, "w") as f:
+        json.dump(gtf, f)
+    with open(dt_p, "w") as f:
+        json.dump(dets, f)
+    ps = mod.analyze_results(str(dt_p), str(gt_p), str(tmp_path / "out"))
+    assert ps.shape[0] == 7
+    # error removal is monotone: each successive curve bounds the previous
+    aps = [float(ps[t, :, :, 0].mean()) for t in range(7)]
+    assert all(aps[i] <= aps[i + 1] + 1e-6 for i in range(6))
+    assert (tmp_path / "out" / "bbox-allclass-allarea.png").exists()
