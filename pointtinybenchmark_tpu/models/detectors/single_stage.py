@@ -159,3 +159,13 @@ class SSD(SingleStageDetector):
 class CenterNet(SingleStageDetector):
     """CenterNet shell (mmdet models/detectors/centernet.py)."""
     pass
+
+
+@DETECTORS.register_module()
+class FoveaBox(SingleStageDetector):
+    """mmdet models/detectors/fovea.py parity (FoveaHead shell)."""
+
+
+@DETECTORS.register_module()
+class VFNet(SingleStageDetector):
+    """mmdet models/detectors/vfnet.py parity (VFNetHead shell)."""

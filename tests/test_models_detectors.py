@@ -469,3 +469,71 @@ def test_centernet():
     dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 20, 5)
+
+
+def _mini_batch(rng, num_classes=2):
+    bb = rng.rand(2, 4, 4).astype(np.float32) * 20
+    bb[..., 2:] = bb[..., :2] + 10 + rng.rand(2, 4, 2).astype(np.float32) * 25
+    return dict(gt_bboxes=jnp.asarray(bb),
+                gt_labels=jnp.asarray(rng.randint(0, num_classes, (2, 4)),
+                                      jnp.int32),
+                gt_valid=jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], bool),
+                img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+
+
+def test_foveabox():
+    model = build_detector(dict(
+        type="FoveaBox",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=0, add_extra_convs="on_input", num_outs=5),
+        bbox_head=dict(type="FoveaHead", num_classes=2, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       strides=[4, 8, 16, 32, 64],
+                       base_edge_list=[8, 16, 32, 64, 128],
+                       scale_ranges=((1, 32), (16, 64), (32, 128),
+                                     (64, 256), (128, 512)))),
+        None, dict(nms_pre=100, score_thr=0.01,
+                   nms=dict(iou_threshold=0.5), max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    batch = _mini_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) > 0
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
+
+
+def test_vfnet():
+    model = build_detector(dict(
+        type="VFNet",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=0, add_extra_convs="on_input", num_outs=5),
+        bbox_head=dict(type="VFNetHead", num_classes=2, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       norm_cfg=dict(type="GN", num_groups=8),
+                       strides=[4, 8, 16, 32, 64])),
+        None, dict(nms_pre=100, score_thr=0.01,
+                   nms=dict(iou_threshold=0.6), max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    batch = _mini_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) > 0
+    # refined bbox loss present: the star-DCN refine branch is wired in
+    assert "loss_bbox_rf" in losses
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
