@@ -537,3 +537,62 @@ def test_vfnet():
                           jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 20, 5)
+
+
+def test_res2net_hrnet_backbones():
+    from pointtinybenchmark_tpu.models import HRFPN, HRNet, Res2Net
+    x = jnp.zeros((1, 64, 64, 3))
+    r2 = Res2Net(depth=50, base_channels=8)
+    v = r2.init(jax.random.PRNGKey(0), x)
+    outs = r2.apply(v, x)
+    assert [o.shape for o in outs] == [(1, 16, 16, 32), (1, 8, 8, 64),
+                                       (1, 4, 4, 128), (1, 2, 2, 256)]
+    extra = dict(
+        stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK",
+                    num_blocks=(1,), num_channels=(8,)),
+        stage2=dict(num_modules=1, num_branches=2, block="BASIC",
+                    num_blocks=(1, 1), num_channels=(8, 16)),
+        stage3=dict(num_modules=1, num_branches=3, block="BASIC",
+                    num_blocks=(1, 1, 1), num_channels=(8, 16, 32)),
+        stage4=dict(num_modules=1, num_branches=4, block="BASIC",
+                    num_blocks=(1, 1, 1, 1), num_channels=(8, 16, 32, 64)))
+    hr = HRNet(extra=extra, base_channels=8)
+    v = hr.init(jax.random.PRNGKey(0), x)
+    outs = hr.apply(v, x)
+    assert [o.shape for o in outs] == [(1, 16, 16, 8), (1, 8, 8, 16),
+                                       (1, 4, 4, 32), (1, 2, 2, 64)]
+    neck = HRFPN(in_channels=(8, 16, 32, 64), out_channels=16, num_outs=5)
+    vn = neck.init(jax.random.PRNGKey(0), outs)
+    fp = neck.apply(vn, outs)
+    assert len(fp) == 5 and fp[0].shape == (1, 16, 16, 16)
+    # end-to-end: HRNet+HRFPN under a RetinaHead builds & runs loss
+    model = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="HRNet", extra=extra, base_channels=8),
+        neck=dict(type="HRFPN", in_channels=[8, 16, 32, 64],
+                  out_channels=16, num_outs=5),
+        bbox_head=dict(type="RetinaHead", num_classes=1, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       anchor_generator=dict(type="AnchorGenerator",
+                                             octave_base_scale=2,
+                                             scales_per_octave=1,
+                                             ratios=[1.0],
+                                             strides=[4, 8, 16, 32, 64]),
+                       bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                       target_stds=[1, 1, 1, 1]),
+                       loss_cls=dict(type="FocalLoss", use_sigmoid=True),
+                       loss_bbox=dict(type="L1Loss"))),
+        dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                           neg_iou_thr=0.4, min_pos_iou=0,
+                           ignore_iof_thr=-1),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=100, score_thr=0.01, nms=dict(iou_threshold=0.5),
+             max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    batch = _mini_batch(rng, num_classes=1)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
