@@ -169,3 +169,8 @@ class FoveaBox(SingleStageDetector):
 @DETECTORS.register_module()
 class VFNet(SingleStageDetector):
     """mmdet models/detectors/vfnet.py parity (VFNetHead shell)."""
+
+
+@DETECTORS.register_module()
+class YOLOF(SingleStageDetector):
+    """mmdet models/detectors/yolof.py parity (single-level YOLOFHead)."""

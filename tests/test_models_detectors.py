@@ -596,3 +596,36 @@ def test_res2net_hrnet_backbones():
                             method=model.forward_train,
                             mutable=["batch_stats"])
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_yolof():
+    model = build_detector(dict(
+        type="YOLOF",
+        backbone=dict(type="ResNet", depth=18, base_channels=8,
+                      out_indices=(3,)),
+        neck=dict(type="DilatedEncoder", in_channels=64, out_channels=16,
+                  block_mid_channels=8),
+        bbox_head=dict(type="YOLOFHead", num_classes=2, in_channels=16,
+                       num_cls_convs=1, num_reg_convs=2, stride=32)),
+        None, dict(nms_pre=100, score_thr=0.01,
+                   nms=dict(iou_threshold=0.6), max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 128, 128, 3), jnp.float32)
+    bb = rng.rand(2, 4, 4).astype(np.float32) * 40
+    bb[..., 2:] = bb[..., :2] + 30 + rng.rand(2, 4, 2).astype(np.float32) * 50
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 4)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], bool),
+                 img_shape=jnp.asarray([[128, 128], [120, 124]], jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    # uniform matching guarantees every valid gt gets >= 1 anchor: 5 gts,
+    # match_times=4 on two cost matrices -> at least a handful of positives
+    assert float(losses["num_pos"]) >= 5
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[128, 128], [120, 124]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
