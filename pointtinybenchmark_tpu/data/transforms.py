@@ -381,6 +381,149 @@ class PhotoMetricDistortion:
 
 
 @PIPELINES.register_module()
+class Expand:
+    """Random canvas expansion (mmdet transforms Expand — SSD recipe):
+    paste the image at a random position on a mean-filled canvas up to
+    `ratio_range` times larger; boxes shift by the paste offset."""
+
+    def __init__(self, mean=(0, 0, 0), to_rgb: bool = True,
+                 ratio_range=(1, 4), prob: float = 0.5):
+        self.mean = mean
+        self.ratio_range = ratio_range
+        self.prob = prob
+
+    def __call__(self, results: dict) -> dict:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        if rng.uniform() > self.prob:
+            return results
+        img = results["img"]
+        h, w, c = img.shape
+        ratio = rng.uniform(*self.ratio_range)
+        eh, ew = int(h * ratio), int(w * ratio)
+        y0 = rng.randint(0, eh - h + 1)
+        x0 = rng.randint(0, ew - w + 1)
+        canvas = np.empty((eh, ew, c), img.dtype)
+        canvas[...] = np.asarray(self.mean, img.dtype)
+        canvas[y0:y0 + h, x0:x0 + w] = img
+        results["img"] = canvas
+        results["img_shape"] = canvas.shape
+        off = np.asarray([x0, y0, x0, y0], np.float32)
+        for key in results.get("bbox_fields", []):
+            results[key] = results[key] + off
+        return results
+
+
+@PIPELINES.register_module()
+class MinIoURandomCrop:
+    """mmdet transforms MinIoURandomCrop (SSD recipe): sample a crop whose
+    IoU with every kept gt exceeds a randomly-chosen threshold; keep only
+    gts whose centers fall inside the crop."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                 min_crop_size: float = 0.3, max_tries: int = 50):
+        self.sample_mode = (1, *min_ious, 0)
+        self.min_crop_size = min_crop_size
+        self.max_tries = max_tries
+
+    def __call__(self, results: dict) -> Optional[dict]:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        img = results["img"]
+        h, w = img.shape[:2]
+        boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        while True:
+            mode = self.sample_mode[rng.randint(len(self.sample_mode))]
+            if mode == 1:
+                return results
+            for _ in range(self.max_tries):
+                cw = rng.uniform(self.min_crop_size * w, w)
+                ch = rng.uniform(self.min_crop_size * h, h)
+                if ch / cw < 0.5 or ch / cw > 2:
+                    continue
+                x0 = rng.uniform(0, w - cw)
+                y0 = rng.uniform(0, h - ch)
+                patch = np.asarray([x0, y0, x0 + cw, y0 + ch])
+                if len(boxes):
+                    ix1 = np.maximum(boxes[:, 0], patch[0])
+                    iy1 = np.maximum(boxes[:, 1], patch[1])
+                    ix2 = np.minimum(boxes[:, 2], patch[2])
+                    iy2 = np.minimum(boxes[:, 3], patch[3])
+                    inter = (np.clip(ix2 - ix1, 0, None)
+                             * np.clip(iy2 - iy1, 0, None))
+                    ba = ((boxes[:, 2] - boxes[:, 0])
+                          * (boxes[:, 3] - boxes[:, 1]))
+                    pa = cw * ch
+                    iou = inter / np.maximum(ba + pa - inter, 1e-12)
+                    if iou.min() < mode:
+                        continue
+                    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+                    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+                    keep = ((cx > patch[0]) & (cx < patch[2])
+                            & (cy > patch[1]) & (cy < patch[3]))
+                    if not keep.any():
+                        continue
+                else:
+                    keep = np.zeros((0,), bool)
+                x0i, y0i = int(x0), int(y0)
+                x1i, y1i = int(x0 + cw), int(y0 + ch)
+                results["img"] = img[y0i:y1i, x0i:x1i]
+                results["img_shape"] = results["img"].shape
+                off = np.asarray([x0i, y0i, x0i, y0i], np.float32)
+                for key in results.get("bbox_fields", []):
+                    if key == "gt_bboxes" and len(boxes):
+                        b = boxes[keep] - off
+                    else:
+                        b = results[key] - off
+                    b[:, 0::2] = np.clip(b[:, 0::2], 0, x1i - x0i)
+                    b[:, 1::2] = np.clip(b[:, 1::2], 0, y1i - y0i)
+                    results[key] = b
+                if "gt_labels" in results and len(boxes):
+                    results["gt_labels"] = results["gt_labels"][keep]
+                if "gt_anns_id" in results and len(boxes):
+                    results["gt_anns_id"] = results["gt_anns_id"][keep]
+                return results
+
+
+@PIPELINES.register_module()
+class CutOut:
+    """mmdet transforms CutOut: zero (or fill) random rectangles."""
+
+    def __init__(self, n_holes, cutout_shape=None, cutout_ratio=None,
+                 fill_in=(0, 0, 0)):
+        self.n_holes = n_holes if isinstance(n_holes, (tuple, list)) \
+            else (n_holes, n_holes)
+        self.cutout_shape = cutout_shape
+        self.cutout_ratio = cutout_ratio
+        self.fill_in = fill_in
+
+    def __call__(self, results: dict) -> dict:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        img = results["img"]
+        h, w = img.shape[:2]
+        n = rng.randint(self.n_holes[0], self.n_holes[1] + 1)
+        for _ in range(n):
+            if self.cutout_shape is not None:
+                shapes = self.cutout_shape if isinstance(
+                    self.cutout_shape[0], (tuple, list)) \
+                    else [self.cutout_shape]
+                ch, cw = shapes[rng.randint(len(shapes))]
+            else:
+                ratios = self.cutout_ratio if isinstance(
+                    self.cutout_ratio[0], (tuple, list)) \
+                    else [self.cutout_ratio]
+                rh, rw = ratios[rng.randint(len(ratios))]
+                ch, cw = int(h * rh), int(w * rw)
+            y0 = rng.randint(0, h)
+            x0 = rng.randint(0, w)
+            img[y0:y0 + int(ch), x0:x0 + int(cw)] = \
+                np.asarray(self.fill_in, img.dtype)
+        results["img"] = img
+        return results
+
+
+@PIPELINES.register_module()
 class DefaultFormatBundle:
     """No-op marker kept for config parity (tensors are built by the
     collator)."""

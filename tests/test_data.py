@@ -293,3 +293,26 @@ def test_nms_numpy_and_merge(coco_dir):
     ev.evaluate(); ev.accumulate()
     stats = ev.summarize()
     assert stats["AP50_all"] > 0.75  # tile-clipped boxes mostly recovered
+
+
+def test_expand_min_iou_crop_cutout():
+    from pointtinybenchmark_tpu.data.transforms import (CutOut, Expand,
+                                                        MinIoURandomCrop)
+    rng = np.random.RandomState(0)
+    base = dict(img=np.ones((40, 60, 3), np.float32) * 100,
+                gt_bboxes=np.asarray([[10., 10., 30., 30.],
+                                      [40., 20., 55., 35.]], np.float32),
+                gt_labels=np.asarray([0, 1]),
+                bbox_fields=["gt_bboxes"], _rng=rng)
+    r = Expand(prob=1.0, ratio_range=(2, 3))(dict(base))
+    assert r["img"].shape[0] >= 80
+    # boxes still enclose the same pixels: box extents preserved
+    wh = r["gt_bboxes"][:, 2:] - r["gt_bboxes"][:, :2]
+    np.testing.assert_allclose(wh, [[20, 20], [15, 15]])
+    r = MinIoURandomCrop()(dict(base))
+    assert r is not None
+    assert (r["gt_bboxes"][:, 2] >= r["gt_bboxes"][:, 0]).all()
+    assert len(r["gt_labels"]) == len(r["gt_bboxes"])
+    r = CutOut(n_holes=(1, 3), cutout_ratio=(0.2, 0.2))(dict(base))
+    assert r["img"].shape == (40, 60, 3)
+    assert (r["img"] == 0).any()  # something was cut
