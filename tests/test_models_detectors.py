@@ -629,3 +629,17 @@ def test_yolof():
                           jnp.asarray([[128, 128], [120, 124]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 20, 5)
+
+
+def test_ssd_vgg_backbone():
+    from pointtinybenchmark_tpu.models import SSDVGG
+    m = SSDVGG(input_size=300, base_channels=8)
+    x = jnp.zeros((1, 300, 300, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    # the canonical SSD300 grid ladder
+    assert [tuple(o.shape[1:3]) for o in outs] == [
+        (38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+    # conv4_3 is L2-normalized then rescaled: per-pixel channel norm == 20
+    n = np.sqrt((np.asarray(outs[0], np.float64) ** 2).sum(-1))
+    np.testing.assert_allclose(n, 20.0, rtol=1e-3)
