@@ -634,7 +634,8 @@ def test_yolof():
 def test_ssd_vgg_backbone():
     from pointtinybenchmark_tpu.models import SSDVGG
     m = SSDVGG(input_size=300, base_channels=8)
-    x = jnp.zeros((1, 300, 300, 3))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 300, 300, 3),
+                    jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x)
     outs = m.apply(v, x)
     # the canonical SSD300 grid ladder
