@@ -16,6 +16,7 @@ from .dense_heads.detr_head import DETRHead
 from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.fovea_head import FoveaHead
 from .dense_heads.vfnet_head import VFNetHead
+from .dense_heads.paa_head import PAAHead
 from .dense_heads.yolof_head import DilatedEncoder, YOLOFHead
 from .dense_heads.gfl_head import GFLHead
 from .dense_heads.p2p_head import P2PHead
@@ -29,7 +30,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "Res2Net", "SSDVGG", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "Res2Net", "SSDVGG", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

@@ -644,3 +644,45 @@ def test_ssd_vgg_backbone():
     # conv4_3 is L2-normalized then rescaled: per-pixel channel norm == 20
     n = np.sqrt((np.asarray(outs[0], np.float64) ** 2).sum(-1))
     np.testing.assert_allclose(n, 20.0, rtol=1e-3)
+
+
+def test_paa_gmm_split_and_training():
+    from pointtinybenchmark_tpu.models.dense_heads.paa_head import gmm_split
+    # clearly bimodal candidate losses: low cluster -> positive
+    loss = jnp.asarray([[0.1, 0.12, 0.11, 2.0, 2.1, 1.9, 0.0, 0.0]])
+    cand = jnp.asarray([[1, 1, 1, 1, 1, 1, 0, 0]], bool)
+    pos = np.asarray(gmm_split(loss, cand))
+    assert pos[0, :3].all() and not pos[0, 3:].any()
+
+    model = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=0, add_extra_convs="on_input", num_outs=5),
+        bbox_head=dict(type="PAAHead", num_classes=2, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       norm_cfg=dict(type="GN", num_groups=8),
+                       anchor_generator=dict(type="AnchorGenerator",
+                                             octave_base_scale=4,
+                                             scales_per_octave=1,
+                                             ratios=[1.0],
+                                             strides=[4, 8, 16, 32, 64]),
+                       bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                       target_stds=[0.1, 0.1, 0.2, 0.2]))),
+        dict(assigner=dict(topk=9)),
+        dict(nms_pre=100, score_thr=0.01, nms=dict(iou_threshold=0.6),
+             max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    batch = _mini_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) > 0
+    assert "loss_iou" in losses
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
