@@ -64,6 +64,17 @@ def circle_offsets(radius: int, base_num_point: int = 8, stride: float = 1.0,
     return np.concatenate(pts).astype(np.float32)
 
 
+def grid_offsets(radius: int, stride: float = 1.0) -> np.ndarray:
+    """Grid-cell offsets within `radius` cells (Grid*PtFeatGenerator
+    variants — reference cpr_head.py:296-439): every feature-map cell whose
+    center lies within radius*stride of the (grid-snapped) annotated point.
+    Static stamp; per-gt shape tests (ellipse) are applied as validity."""
+    rng = np.arange(-radius, radius + 1, dtype=np.float32)
+    dx, dy = np.meshgrid(rng, rng)
+    keep = dx ** 2 + dy ** 2 <= radius ** 2 + 1e-6
+    return (np.stack([dx[keep], dy[keep]], -1) * stride).astype(np.float32)
+
+
 @HEADS.register_module()
 class CPRHead(nn.Module):
     num_classes: int
@@ -123,7 +134,7 @@ class CPRHead(nn.Module):
     def _pos_gen_cfg(self, extractor_cfg: Optional[dict]) -> dict:
         cfg = dict((extractor_cfg or {}).get(
             "pos_generator", dict(type="CirclePtFeatGenerator", radius=5)))
-        cfg.pop("type", None)
+        cfg["_type"] = cfg.pop("type", "CirclePtFeatGenerator")
         cfg.setdefault("radius", 5)
         cfg.setdefault("base_num_point", 8)
         cfg.setdefault("start_angle", 0)
@@ -204,22 +215,54 @@ class CPRHead(nn.Module):
         extractor = (self.train_pts_extractor if mode == "train"
                      else self.refine_pts_extractor)
         pos_cfg = self._pos_gen_cfg(extractor)
-        offs = circle_offsets(int(pos_cfg["radius"]),
-                              int(pos_cfg["base_num_point"]), stride,
-                              float(pos_cfg["start_angle"]),
-                              bool(pos_cfg["same_num_all_radius"]))
+        gen_type = pos_cfg.get("_type", "CirclePtFeatGenerator")
+        grid_gen = gen_type in ("GridPtFeatGenerator",
+                                "GridCirclesPtFeatGenerator",
+                                "GridEllipsePtFeatGenerator")
+        if grid_gen:
+            # Grid variants: the bag is actual feature-map cells around the
+            # (grid-snapped) point rather than ring offsets. For the
+            # ellipse variant the stamp radius bounds the long axis and the
+            # exact |p-f1|+|p-f2| <= 2a test is applied per gt below.
+            offs = grid_offsets(int(pos_cfg["radius"]), stride)
+        else:
+            offs = circle_offsets(int(pos_cfg["radius"]),
+                                  int(pos_cfg["base_num_point"]), stride,
+                                  float(pos_cfg["start_angle"]),
+                                  bool(pos_cfg["same_num_all_radius"]))
         if pos_cfg["append_center"]:
             offs = np.concatenate([offs, np.zeros((1, 2), np.float32)])
         nc = offs.shape[0]
 
         def run_bags(gt_points):
             """Sample circle bags at gt_points and run the point heads."""
-            bag_pts = gt_points[:, :, :, None, :] + offs[None, None, None]
+            anchors_ = (jnp.round(gt_points / stride) * stride
+                        if grid_gen else gt_points)
+            bag_pts = anchors_[:, :, :, None, :] + offs[None, None, None]
+            if gen_type == "GridEllipsePtFeatGenerator" and \
+                    gt_points.shape[2] >= 2:
+                # ellipse over the refine-point pair (f1, f2)
+                f1 = gt_points[:, :, 0, :]
+                f2 = gt_points[:, :, 1, :]
+                c = jnp.linalg.norm(f1 - f2, axis=-1) / 2       # (B, G)
+                amc = float(pos_cfg.get("a_minus_c", -1.0))
+                adc = float(pos_cfg.get("a_divide_c", -1.0))
+                a = amc * stride + c if amc >= 0 else adc * c
+                d = (jnp.linalg.norm(
+                        bag_pts - f1[:, :, None, None, :], axis=-1)
+                     + jnp.linalg.norm(
+                        bag_pts - f2[:, :, None, None, :], axis=-1))
+                in_shape = d <= 2.0 * jnp.maximum(
+                    a, stride)[:, :, None, None]
+            else:
+                in_shape = None
             inside = ((bag_pts[..., 0] >= 0)
                       & (bag_pts[..., 0] < pad_shape[1])
                       & (bag_pts[..., 1] >= 0)
                       & (bag_pts[..., 1] < pad_shape[0]))
             bag_valid = inside & batch["gt_valid"][:, :, None, None]
+            if in_shape is not None:
+                bag_valid = bag_valid & in_shape
             flat_pts = bag_pts.reshape(b, g * r * nc, 2) / stride
             bag_cls_feats = point_sample_pixel(cls_feat, flat_pts).reshape(
                 b, g, r, nc, -1)

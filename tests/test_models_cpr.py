@@ -211,3 +211,41 @@ def test_cascade_cpr_refine():
     losses = model.apply(variables, img, batch, method=model.forward_train,
                          rngs={"sampler": jax.random.PRNGKey(1)})
     assert np.isfinite(float(losses["loss_pos"]))
+
+
+def test_cpr_grid_generator_variants():
+    """Grid/GridCircles/GridEllipse pos-generator variants: bag points snap
+    to the feature grid; ellipse validity gates the pair-based stamp."""
+    from pointtinybenchmark_tpu.models.dense_heads.cpr_head import (
+        CPRHead, grid_offsets)
+    offs = grid_offsets(2, 4.0)
+    # 13 cells in an L2-radius-2 disc, scaled by stride
+    assert offs.shape == (13, 2)
+    assert (np.abs(offs) % 4 == 0).all()
+
+    head = CPRHead(
+        num_classes=2, in_channels=8, feat_channels=8, stacked_convs=1,
+        strides=(4,),
+        train_pts_extractor=dict(
+            pos_generator=dict(type="GridCirclesPtFeatGenerator", radius=2),
+            neg_generator=dict(type="OutCirclePtFeatGenerator", radius=3)),
+        refine_pts_extractor=dict(
+            pos_generator=dict(type="GridEllipsePtFeatGenerator", radius=3,
+                               a_minus_c=1.0),
+            neg_generator=dict(type="OutCirclePtFeatGenerator", radius=3)),
+        point_refiner=dict(merge_th=0.05, refine_th=0.05))
+    feats = (jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 8),
+                         jnp.float32),)
+    pts = jnp.asarray([[[[24.0, 24.0], [28.0, 26.0]]]])  # (1, 1, 2, 2)
+    batch = dict(gt_points=pts,
+                 gt_labels=jnp.asarray([[0]], jnp.int32),
+                 gt_valid=jnp.asarray([[True]]),
+                 pad_shape=(64, 64))
+    v = head.init(jax.random.PRNGKey(0), feats, batch, mode="train")
+    out = head.apply(v, feats, batch, mode="train")
+    # grid bags: every valid bag point lies on the stride-4 grid
+    bag = np.asarray(out["bag_pts"])[np.asarray(out["bag_valid"])]
+    assert (bag % 4 == 0).all()
+    # refine mode exercises the ellipse validity path
+    out = head.apply(v, feats, batch, mode="refine")
+    assert np.asarray(out["bag_valid"]).sum() > 0
