@@ -251,3 +251,22 @@ def test_coco_error_analysis(tmp_path):
     aps = [float(ps[t, :, :, 0].mean()) for t in range(7)]
     assert all(aps[i] <= aps[i + 1] + 1e-6 for i in range(6))
     assert (tmp_path / "out" / "bbox-allclass-allarea.png").exists()
+
+
+def test_eval_metric_tool(tiny_workspace, tmp_path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "evalmetric", osp.join(TOOLS, "analysis_tools", "eval_metric.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # perfect detections straight from the gt
+    with open(osp.join(tiny_workspace["root"], "data", "ann.json")) as f:
+        gt = json.load(f)
+    dets = [dict(image_id=a["image_id"], category_id=a["category_id"],
+                 bbox=a["bbox"], score=0.9) for a in gt["annotations"]]
+    res = tmp_path / "res.json"
+    with open(res, "w") as f:
+        json.dump(dets, f)
+    # add an evaluation section via cfg-options-free path: default coco std
+    stats = mod.evaluate_file(tiny_workspace["cfg"], str(res))
+    assert any(v == 1.0 for v in stats.values())  # perfect dets -> AP 1.0
