@@ -16,6 +16,7 @@ from .dense_heads.detr_head import DETRHead
 from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.fovea_head import FoveaHead
 from .dense_heads.vfnet_head import VFNetHead
+from .dense_heads.autoassign_head import AutoAssignHead
 from .dense_heads.paa_head import PAAHead
 from .dense_heads.yolof_head import DilatedEncoder, YOLOFHead
 from .dense_heads.gfl_head import GFLHead
@@ -30,7 +31,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "Res2Net", "SSDVGG", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "Res2Net", "SSDVGG", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
@@ -39,7 +40,7 @@ from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
 from .dense_heads.ssd_head import SSDHead  # noqa: E402
 from .detectors.single_stage import (CenterNet, DETR,  # noqa: E402
-                                     FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
+                                     AutoAssign, FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   MaskRCNN, TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402

@@ -174,3 +174,8 @@ class VFNet(SingleStageDetector):
 @DETECTORS.register_module()
 class YOLOF(SingleStageDetector):
     """mmdet models/detectors/yolof.py parity (single-level YOLOFHead)."""
+
+
+@DETECTORS.register_module()
+class AutoAssign(SingleStageDetector):
+    """mmdet models/detectors/autoassign.py parity (AutoAssignHead shell)."""

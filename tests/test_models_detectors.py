@@ -686,3 +686,46 @@ def test_paa_gmm_split_and_training():
                           jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 20, 5)
+
+
+def test_autoassign():
+    model = build_detector(dict(
+        type="AutoAssign",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=0, add_extra_convs="on_input", num_outs=5),
+        bbox_head=dict(type="AutoAssignHead", num_classes=2, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       norm_cfg=dict(type="GN", num_groups=8),
+                       strides=[4, 8, 16, 32, 64])),
+        None, dict(nms_pre=100, score_thr=0.01,
+                   nms=dict(iou_threshold=0.6), max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    batch = _mini_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    # the center prior is a learnable parameter
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = [jax.tree_util.keystr(k) for k, _ in flat]
+    assert any("center_prior_mean" in s for s in names)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert {"loss_pos", "loss_neg", "loss_center"} <= set(losses)
+
+    # gradient reaches the center prior (differentiable assignment)
+    def total(params):
+        ls, _ = model.apply({**variables, "params": params}, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+        return sum(v for k, v in ls.items() if k.startswith("loss"))
+    grads = jax.grad(total)(variables["params"])
+    gmag = [float(np.abs(np.asarray(v)).sum())
+            for k, v in jax.tree_util.tree_leaves_with_path(grads)
+            if "center_prior" in jax.tree_util.keystr(k)]
+    assert any(g > 0 for g in gmag)
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
