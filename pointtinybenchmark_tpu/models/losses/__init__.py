@@ -1,4 +1,4 @@
-from .advanced import GHMC, GHMR, VarifocalLoss
+from .advanced import GHMC, GHMR, SeesawLoss, VarifocalLoss
 from .cross_entropy_loss import CrossEntropyLoss
 from .focal_loss import FocalLoss, sigmoid_focal_loss
 from .gfocal_loss import DistributionFocalLoss, QualityFocalLoss
@@ -10,7 +10,7 @@ from .weighted_hausdorff_distance import (WeightedHausdorffDistanceLoss,
                                           weighted_hausdorff_distance)
 
 __all__ = [
-    "GHMC", "GHMR", "VarifocalLoss",
+    "GHMC", "GHMR", "SeesawLoss", "VarifocalLoss",
     "FocalLoss", "sigmoid_focal_loss", "QualityFocalLoss",
     "DistributionFocalLoss", "CrossEntropyLoss", "SmoothL1Loss",
     "L1Loss", "MSELoss", "IoULoss", "GIoULoss", "DIoULoss", "MILLoss",

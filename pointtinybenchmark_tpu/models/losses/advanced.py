@@ -111,3 +111,59 @@ class GHMR:
         w = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
         weights = w[bin_idx] * valid.astype(pred.dtype) / n_valid_bins
         return self.loss_weight * (loss * weights).sum() / tot
+
+
+@LOSSES.register_module()
+class SeesawLoss:
+    """Seesaw loss for long-tailed detection (reference
+    mmdet/models/losses/seesaw_loss.py).
+
+    The reference accumulates class counts across training in a module
+    buffer; mutable cross-step state does not exist inside a jitted TPU
+    step, so the mitigation statistics are computed from the current
+    batch's label histogram (optionally seeded with `class_counts`) —
+    documented deviation, identical formula otherwise:
+    mitigation  M_ij = min(1, (N_j / N_i)^p)
+    compensation C_ij = max(1, (sigma_j / sigma_i)^q)   on misclassified.
+    """
+
+    def __init__(self, p: float = 0.8, q: float = 2.0,
+                 num_classes: int = 1203, eps: float = 1e-2,
+                 loss_weight: float = 1.0, class_counts=None,
+                 use_sigmoid: bool = False):
+        assert not use_sigmoid
+        self.p = p
+        self.q = q
+        self.num_classes = num_classes
+        self.eps = eps
+        self.loss_weight = loss_weight
+        self.class_counts = class_counts
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        """pred (N, C) logits over foreground classes; target (N,) int."""
+        c = self.num_classes
+        onehot = jax.nn.one_hot(target, c, dtype=pred.dtype)
+        counts = onehot.sum(0) + (
+            jnp.asarray(self.class_counts, pred.dtype)
+            if self.class_counts is not None else 1.0)
+        ratio = counts[None, :] / jnp.maximum(counts[:, None], 1.0)  # N_j/N_i
+        mitigation = jnp.minimum(ratio, 1.0) ** self.p
+        scores = jax.nn.softmax(pred, -1)
+        score_i = jnp.einsum("nc,c->n", onehot, jnp.ones(c))  # dummy keep
+        del score_i
+        s_gt = (scores * onehot).sum(-1, keepdims=True)
+        comp = jnp.maximum(scores / jnp.maximum(s_gt, self.eps), 1.0) \
+            ** self.q
+        # seesaw weights applied to the negative logits of the gt row
+        sw = jnp.einsum("nc,cd->nd", onehot, mitigation) * comp
+        sw = jnp.where(onehot > 0, 1.0, sw)
+        adj = pred + jnp.log(jnp.clip(sw, 1e-8, None))
+        logz = jax.nn.logsumexp(adj, -1)
+        ll = (adj * onehot).sum(-1) - logz
+        loss = -ll
+        if weight is not None:
+            loss = loss * weight
+        loss = loss.sum()
+        if avg_factor is not None:
+            loss = loss / jnp.maximum(avg_factor, 1.0)
+        return self.loss_weight * loss

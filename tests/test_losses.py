@@ -217,3 +217,26 @@ def test_ghmr_runs_and_harmonizes():
     assert np.isfinite(float(loss)) and float(loss) > 0
     # zero validity -> zero loss
     assert float(GHMR()(pred, target, jnp.zeros((40, 4)))) == 0.0
+
+
+def test_seesaw_loss_properties():
+    import jax
+    from pointtinybenchmark_tpu.models.losses import SeesawLoss
+    rng = np.random.RandomState(6)
+    pred = jnp.asarray(rng.randn(40, 4).astype(np.float32))
+    # class 0 dominant, class 3 rare
+    target = jnp.asarray([0] * 30 + [1] * 6 + [2] * 3 + [3], jnp.int32)
+    loss = SeesawLoss(num_classes=4)(pred, target)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # p=0, q=0 -> seesaw weights vanish -> plain softmax CE
+    plain = SeesawLoss(num_classes=4, p=0.0, q=0.0)(pred, target)
+    onehot = np.eye(4)[np.asarray(target)]
+    logp = np.asarray(jax.nn.log_softmax(pred, -1))
+    ce = -(logp * onehot).sum()
+    np.testing.assert_allclose(float(plain), ce, rtol=1e-5)
+    # mitigation only (q=0) shrinks negative pressure: loss <= plain CE;
+    # compensation only (p=0) boosts misclassified negatives: loss >= CE
+    mit = SeesawLoss(num_classes=4, p=0.8, q=0.0)(pred, target)
+    comp = SeesawLoss(num_classes=4, p=0.0, q=2.0)(pred, target)
+    assert float(mit) <= float(plain) + 1e-4
+    assert float(comp) >= float(plain) - 1e-4
