@@ -1,0 +1,25 @@
+# PAA (Probabilistic Anchor Assignment). Parity: reference configs/paa.
+_base_ = ["../_base_/datasets/coco_detection.py",
+          "../_base_/schedules/schedule_1x.py",
+          "../_base_/default_runtime.py"]
+model = dict(
+    type="SingleStageDetector",
+    backbone=dict(type="ResNet", depth=50, num_stages=4,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True),
+    neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=1, add_extra_convs="on_output",
+              num_outs=5),
+    bbox_head=dict(type="PAAHead", num_classes=80, in_channels=256,
+                   feat_channels=256, stacked_convs=4, topk=9,
+                   anchor_generator=dict(type="AnchorGenerator",
+                                         octave_base_scale=8,
+                                         scales_per_octave=1, ratios=[1.0],
+                                         strides=[8, 16, 32, 64, 128]),
+                   bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                   target_stds=[0.1, 0.1, 0.2, 0.2]),
+                   loss_bbox=dict(type="GIoULoss", loss_weight=1.3)),
+)
+train_cfg = dict(assigner=dict(topk=9))
+test_cfg = dict(nms_pre=1000, score_thr=0.05,
+                nms=dict(type="nms", iou_threshold=0.6), max_per_img=100)
+optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0001)
