@@ -1,6 +1,6 @@
 from . import scale_match, tiling  # noqa: F401 — register pipeline modules
 from .coco import COCO
-from .cocofmt import CocoFmtDataset, LVISDataset
+from .cocofmt import CityscapesDataset, CocoFmtDataset, LVISDataset
 from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
                                RepeatDataset)
 from .loader import (DataLoader, DetCollator, EpochSampler, GroupSampler,
@@ -10,7 +10,7 @@ from .transforms import (Collect, Compose, DefaultFormatBundle,
                          RandomCrop, RandomFlip, Resize)
 from .tiling import CroppedTilesFlipAug, generate_corner_dataset, tile_grid
 from .noise import generate_pseudo_bbox_for_point
-from .voc import VOCDataset
+from .voc import VOCDataset, WIDERFaceDataset
 
 from ..utils.registry import DATASETS
 
@@ -28,4 +28,5 @@ __all__ = [
     "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
     "generate_pseudo_bbox_for_point", "ConcatDataset", "RepeatDataset",
     "ClassBalancedDataset", "VOCDataset", "LVISDataset",
+    "CityscapesDataset", "WIDERFaceDataset",
 ]

@@ -26,7 +26,7 @@ from ..utils.registry import DATASETS
 from .coco import COCO
 from .transforms import Compose
 
-__all__ = ["CocoFmtDataset"]
+__all__ = ["CocoFmtDataset", "LVISDataset", "CityscapesDataset"]
 
 
 @DATASETS.register_module()
@@ -310,3 +310,16 @@ class LVISDataset(CocoFmtDataset):
                 info["file_name"] = info["file_name"].split("_")[-1]
                 info["filename"] = info["file_name"]
         return infos
+
+
+@DATASETS.register_module()
+class CityscapesDataset(CocoFmtDataset):
+    """Cityscapes instances in COCO format (reference
+    mmdet/datasets/cityscapes.py — fixed 8-class palette; COCO-style
+    evaluation path; the cityscapesscripts mAP protocol is not ported)."""
+    CLASSES = ("person", "rider", "car", "truck", "bus", "train",
+               "motorcycle", "bicycle")
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("classes", list(self.CLASSES))
+        super().__init__(*args, **kwargs)

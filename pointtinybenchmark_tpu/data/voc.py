@@ -15,7 +15,7 @@ import numpy as np
 from ..utils.registry import DATASETS
 from .transforms import Compose
 
-__all__ = ["VOCDataset"]
+__all__ = ["VOCDataset", "WIDERFaceDataset"]
 
 VOC_CLASSES = ("aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
                "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
@@ -156,3 +156,11 @@ class VOCDataset:
         ev.evaluate()
         ev.accumulate()
         return ev.summarize()
+
+
+@DATASETS.register_module()
+class WIDERFaceDataset(VOCDataset):
+    """WIDER Face in PASCAL-VOC XML layout (reference
+    mmdet/datasets/wider_face.py — single 'face' class; image paths keep
+    the WIDER event-folder prefix)."""
+    CLASSES = ("face",)

@@ -3,6 +3,7 @@ from .backbones.darknet import Darknet
 from .backbones.hrnet import HRFPN, HRNet
 from .backbones.res2net import Res2Net
 from .backbones.ssd_vgg import SSDVGG
+from .necks.extra_necks import BFP, ChannelMapper
 from .backbones.mobilenet_v2 import MobileNetV2
 from .backbones.resnet import ResNet, ResNeXt
 from .builder import (build_backbone, build_detector, build_head, build_model,
@@ -31,7 +32,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "Res2Net", "SSDVGG", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "Res2Net", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

@@ -316,3 +316,29 @@ def test_expand_min_iou_crop_cutout():
     r = CutOut(n_holes=(1, 3), cutout_ratio=(0.2, 0.2))(dict(base))
     assert r["img"].shape == (40, 60, 3)
     assert (r["img"] == 0).any()  # something was cut
+
+
+def test_cityscapes_and_widerface_datasets(tmp_path):
+    import json
+    from pointtinybenchmark_tpu.data import CityscapesDataset
+    ds = dict(images=[dict(id=1, file_name="a.jpg", width=64, height=64)],
+              annotations=[dict(id=1, image_id=1, category_id=24,
+                                bbox=[1.0, 1.0, 10.0, 10.0], area=100.0,
+                                iscrowd=0)],
+              categories=[dict(id=24, name="person"),
+                          dict(id=25, name="rider"),
+                          dict(id=26, name="car"),
+                          dict(id=27, name="truck"),
+                          dict(id=28, name="bus"),
+                          dict(id=31, name="train"),
+                          dict(id=32, name="motorcycle"),
+                          dict(id=33, name="bicycle")])
+    f = tmp_path / "cs.json"
+    with open(f, "w") as fh:
+        json.dump(ds, fh)
+    d = CityscapesDataset(ann_file=str(f), pipeline=[], test_mode=True)
+    assert tuple(d.classes) == CityscapesDataset.CLASSES
+    ann = d.get_ann_info(0)
+    assert ann["labels"].tolist() == [0]  # person -> class 0
+    from pointtinybenchmark_tpu.data import WIDERFaceDataset
+    assert WIDERFaceDataset.CLASSES == ("face",)

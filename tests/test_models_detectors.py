@@ -729,3 +729,18 @@ def test_autoassign():
                           jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 20, 5)
+
+
+def test_bfp_channel_mapper_necks():
+    from pointtinybenchmark_tpu.models import BFP, ChannelMapper
+    feats = tuple(jnp.ones((1, s, s, 8)) for s in (32, 16, 8, 4, 2))
+    m = BFP(in_channels=8, num_levels=5, refine_level=2)
+    v = m.init(jax.random.PRNGKey(0), feats)
+    o = m.apply(v, feats)
+    assert [x.shape for x in o] == [f.shape for f in feats]
+    # balanced semantics: constant input stays constant after refinement add
+    cm = ChannelMapper(in_channels=(8, 8, 8), out_channels=16,
+                       kernel_size=3, num_outs=4)
+    v = cm.init(jax.random.PRNGKey(0), feats[:3])
+    o = cm.apply(v, feats[:3])
+    assert len(o) == 4 and o[0].shape[-1] == 16 and o[3].shape[1] == 4
