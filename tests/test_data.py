@@ -337,7 +337,7 @@ def test_cityscapes_and_widerface_datasets(tmp_path):
     with open(f, "w") as fh:
         json.dump(ds, fh)
     d = CityscapesDataset(ann_file=str(f), pipeline=[], test_mode=True)
-    assert tuple(d.classes) == CityscapesDataset.CLASSES
+    assert tuple(d.classes) == tuple(CityscapesDataset.CLASSES)
     ann = d.get_ann_info(0)
     assert ann["labels"].tolist() == [0]  # person -> class 0
     from pointtinybenchmark_tpu.data import WIDERFaceDataset
