@@ -1,6 +1,7 @@
 from . import losses  # noqa: F401 — register losses
 from .backbones.darknet import Darknet
 from .backbones.hrnet import HRFPN, HRNet
+from .backbones.regnet import RegNet
 from .backbones.res2net import Res2Net
 from .backbones.ssd_vgg import SSDVGG
 from .necks.extra_necks import BFP, ChannelMapper
@@ -32,7 +33,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "Res2Net", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "Res2Net", "RegNet", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

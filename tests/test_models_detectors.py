@@ -744,3 +744,20 @@ def test_bfp_channel_mapper_necks():
     v = cm.init(jax.random.PRNGKey(0), feats[:3])
     o = cm.apply(v, feats[:3])
     assert len(o) == 4 and o[0].shape[-1] == 16 and o[3].shape[1] == 4
+
+
+def test_regnet_backbone():
+    from pointtinybenchmark_tpu.models import RegNet
+    from pointtinybenchmark_tpu.models.backbones.regnet import (
+        _adjust, generate_regnet)
+    # published regnetx_400mf: stage widths [32,64,160,384] depths [1,2,7,12]
+    w, d = generate_regnet(24, 24.48, 2.54, 22)
+    ww, _ = _adjust(w, 16)
+    assert ww == [32, 64, 160, 384] and d == [1, 2, 7, 12]
+    m = RegNet(arch=dict(w0=24, wa=24.48, wm=2.54, depth=8, group_w=8),
+               stem_channels=8)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    # depth-8 micro arch quantizes to 3 stages, strides 4/8/16 off the stem
+    assert [o.shape[1] for o in outs] == [16, 8, 4]
