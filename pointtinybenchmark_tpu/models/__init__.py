@@ -19,6 +19,8 @@ from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.fovea_head import FoveaHead
 from .dense_heads.vfnet_head import VFNetHead
 from .dense_heads.autoassign_head import AutoAssignHead
+from .dense_heads.deformable_detr_head import (DeformableDETRHead,
+                                               MSDeformAttention)
 from .dense_heads.paa_head import PAAHead
 from .dense_heads.yolof_head import DilatedEncoder, YOLOFHead
 from .dense_heads.gfl_head import GFLHead
@@ -33,7 +35,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "Res2Net", "RegNet", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "Res2Net", "RegNet", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
@@ -42,7 +44,7 @@ from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
 from .dense_heads.ssd_head import SSDHead  # noqa: E402
 from .detectors.single_stage import (CenterNet, DETR,  # noqa: E402
-                                     AutoAssign, FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
+                                     AutoAssign, DeformableDETR, FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   MaskRCNN, TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402

@@ -179,3 +179,8 @@ class YOLOF(SingleStageDetector):
 @DETECTORS.register_module()
 class AutoAssign(SingleStageDetector):
     """mmdet models/detectors/autoassign.py parity (AutoAssignHead shell)."""
+
+
+@DETECTORS.register_module()
+class DeformableDETR(SingleStageDetector):
+    """mmdet models/detectors/deformable_detr.py parity."""
