@@ -31,7 +31,7 @@ from ..utils_transformer import FFN, sine_positional_encoding
 from .detr_head import DETRHead
 from ...core.assigners import topk_auction_match
 
-__all__ = ["DeformableDETRHead", "MSDeformAttention"]
+__all__ = ["DeformableDETRHead", "MSDeformAttention", "focal_set_loss"]
 
 
 def inverse_sigmoid(x, eps=1e-5):
@@ -218,61 +218,17 @@ class DeformableDETRHead(DETRHead):
     # sigmoid-focal variant of the DETR set loss
     def _loss_single(self, cls_logits, bbox_pred, gt_bboxes, gt_labels,
                      gt_valid, img_shape, pad_shape):
-        b, q = cls_logits.shape[:2]
-        g = gt_bboxes.shape[1]
-        factor = jnp.asarray([pad_shape[1], pad_shape[0],
-                              pad_shape[1], pad_shape[0]], jnp.float32)
-        gt_xyxy_n = gt_bboxes / factor
-        gt_cxcywh = jnp.stack([
-            (gt_xyxy_n[..., 0] + gt_xyxy_n[..., 2]) / 2,
-            (gt_xyxy_n[..., 1] + gt_xyxy_n[..., 3]) / 2,
-            gt_xyxy_n[..., 2] - gt_xyxy_n[..., 0],
-            gt_xyxy_n[..., 3] - gt_xyxy_n[..., 1]], -1)
-        pred_xyxy = cxcywh2xyxy(bbox_pred)
+        return focal_set_loss(
+            cls_logits, bbox_pred, gt_bboxes, gt_labels, gt_valid,
+            pad_shape, self.num_classes,
+            focal_alpha=self.focal_alpha, focal_gamma=self.focal_gamma,
+            cost_cls_weight=self.cost_cls_weight,
+            cost_bbox_weight=self.cost_bbox_weight,
+            cost_iou_weight=self.cost_iou_weight,
+            loss_cls_weight=self.loss_cls_weight,
+            loss_bbox_weight=self.loss_bbox_weight,
+            loss_iou_weight=self.loss_iou_weight)
 
-        probs = jax.nn.sigmoid(cls_logits)                    # (B, Q, C)
-        safe_lbl = jnp.clip(gt_labels, 0, self.num_classes - 1)
-        p_gt = jnp.take_along_axis(
-            probs, safe_lbl[:, None, :].repeat(q, 1), -1)     # (B, Q, G)
-        a, gma = self.focal_alpha, self.focal_gamma
-        pos_cost = -a * (1 - p_gt) ** gma * jnp.log(p_gt + 1e-8)
-        neg_cost = -(1 - a) * p_gt ** gma * jnp.log(1 - p_gt + 1e-8)
-        cls_cost = pos_cost - neg_cost
-        bbox_cost = jnp.sum(jnp.abs(bbox_pred[:, :, None, :]
-                                    - gt_cxcywh[:, None, :, :]), -1)
-        iou_cost = -jax.vmap(bbox_overlaps, in_axes=(0, 0, None))(
-            pred_xyxy, gt_xyxy_n, "giou")
-        cost = (self.cost_cls_weight * cls_cost
-                + self.cost_bbox_weight * bbox_cost
-                + self.cost_iou_weight * iou_cost)
-        cost = jnp.where(gt_valid[:, None, :], cost, 1e8)
-        assigned = topk_auction_match(cost, gt_valid, topk_k=1)
-
-        pos = assigned > 0
-        safe = jnp.clip(assigned - 1, 0, g - 1)
-        labels = jnp.where(pos, jnp.take_along_axis(gt_labels, safe, 1),
-                           self.num_classes)
-        tgt_boxes = jnp.take_along_axis(gt_cxcywh, safe[..., None], 1)
-        num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
-
-        onehot = jax.nn.one_hot(labels, self.num_classes)     # bg -> zeros
-        pt = probs * onehot + (1 - probs) * (1 - onehot)
-        alpha_t = a * onehot + (1 - a) * (1 - onehot)
-        bce = -(onehot * jnp.log(probs + 1e-8)
-                + (1 - onehot) * jnp.log(1 - probs + 1e-8))
-        loss_cls = (self.loss_cls_weight
-                    * (alpha_t * (1 - pt) ** gma * bce).sum() / num_pos)
-
-        pos_f = pos.astype(jnp.float32)[..., None]
-        loss_bbox = (self.loss_bbox_weight
-                     * (jnp.abs(bbox_pred - tgt_boxes) * pos_f).sum()
-                     / num_pos)
-        gious = bbox_overlaps_aligned(pred_xyxy,
-                                      cxcywh2xyxy(tgt_boxes), mode="giou")
-        loss_iou = (self.loss_iou_weight
-                    * ((1 - gious) * pos_f[..., 0]).sum() / num_pos)
-        return dict(cls=loss_cls, bbox=loss_bbox, iou=loss_iou,
-                    num_pos=num_pos)
 
     def get_bboxes(self, all_cls, all_bbox, img_shapes, pad_shape,
                    scale_factors=None, rescale: bool = False) -> DetResult:
@@ -313,3 +269,69 @@ class DeformableDETRHead(DETRHead):
               else jnp.ones((b, 4), jnp.float32))
         dets = jax.vmap(single)(cls_logits, bbox_pred, img_shapes, sf)
         return dets, None
+
+
+def focal_set_loss(cls_logits, bbox_pred, gt_bboxes, gt_labels,
+               gt_valid, pad_shape, num_classes,
+               focal_alpha=0.25, focal_gamma=2.0,
+               cost_cls_weight=1.0, cost_bbox_weight=5.0,
+               cost_iou_weight=2.0, loss_cls_weight=1.0,
+               loss_bbox_weight=5.0, loss_iou_weight=2.0):
+    """One-to-one focal set loss shared by DeformableDETR and SparseRCNN.
+
+    bbox_pred: (B, Q, 4) normalized cxcywh; gt in absolute xyxy."""
+    b, q = cls_logits.shape[:2]
+    g = gt_bboxes.shape[1]
+    factor = jnp.asarray([pad_shape[1], pad_shape[0],
+                          pad_shape[1], pad_shape[0]], jnp.float32)
+    gt_xyxy_n = gt_bboxes / factor
+    gt_cxcywh = jnp.stack([
+        (gt_xyxy_n[..., 0] + gt_xyxy_n[..., 2]) / 2,
+        (gt_xyxy_n[..., 1] + gt_xyxy_n[..., 3]) / 2,
+        gt_xyxy_n[..., 2] - gt_xyxy_n[..., 0],
+        gt_xyxy_n[..., 3] - gt_xyxy_n[..., 1]], -1)
+    pred_xyxy = cxcywh2xyxy(bbox_pred)
+
+    probs = jax.nn.sigmoid(cls_logits)                    # (B, Q, C)
+    safe_lbl = jnp.clip(gt_labels, 0, num_classes - 1)
+    p_gt = jnp.take_along_axis(
+        probs, safe_lbl[:, None, :].repeat(q, 1), -1)     # (B, Q, G)
+    a, gma = focal_alpha, focal_gamma
+    pos_cost = -a * (1 - p_gt) ** gma * jnp.log(p_gt + 1e-8)
+    neg_cost = -(1 - a) * p_gt ** gma * jnp.log(1 - p_gt + 1e-8)
+    cls_cost = pos_cost - neg_cost
+    bbox_cost = jnp.sum(jnp.abs(bbox_pred[:, :, None, :]
+                                - gt_cxcywh[:, None, :, :]), -1)
+    iou_cost = -jax.vmap(bbox_overlaps, in_axes=(0, 0, None))(
+        pred_xyxy, gt_xyxy_n, "giou")
+    cost = (cost_cls_weight * cls_cost
+            + cost_bbox_weight * bbox_cost
+            + cost_iou_weight * iou_cost)
+    cost = jnp.where(gt_valid[:, None, :], cost, 1e8)
+    assigned = topk_auction_match(cost, gt_valid, topk_k=1)
+
+    pos = assigned > 0
+    safe = jnp.clip(assigned - 1, 0, g - 1)
+    labels = jnp.where(pos, jnp.take_along_axis(gt_labels, safe, 1),
+                       num_classes)
+    tgt_boxes = jnp.take_along_axis(gt_cxcywh, safe[..., None], 1)
+    num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+
+    onehot = jax.nn.one_hot(labels, num_classes)     # bg -> zeros
+    pt = probs * onehot + (1 - probs) * (1 - onehot)
+    alpha_t = a * onehot + (1 - a) * (1 - onehot)
+    bce = -(onehot * jnp.log(probs + 1e-8)
+            + (1 - onehot) * jnp.log(1 - probs + 1e-8))
+    loss_cls = (loss_cls_weight
+                * (alpha_t * (1 - pt) ** gma * bce).sum() / num_pos)
+
+    pos_f = pos.astype(jnp.float32)[..., None]
+    loss_bbox = (loss_bbox_weight
+                 * (jnp.abs(bbox_pred - tgt_boxes) * pos_f).sum()
+                 / num_pos)
+    gious = bbox_overlaps_aligned(pred_xyxy,
+                                  cxcywh2xyxy(tgt_boxes), mode="giou")
+    loss_iou = (loss_iou_weight
+                * ((1 - gious) * pos_f[..., 0]).sum() / num_pos)
+    return dict(cls=loss_cls, bbox=loss_bbox, iou=loss_iou,
+                num_pos=num_pos)
