@@ -761,3 +761,30 @@ def test_regnet_backbone():
     outs = m.apply(v, x)
     # depth-8 micro arch quantizes to 3 stages, strides 4/8/16 off the stem
     assert [o.shape[1] for o in outs] == [16, 8, 4]
+
+
+def test_sparse_rcnn():
+    model = build_detector(dict(
+        type="SparseRCNN",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=0, num_outs=4),
+        num_proposals=16, num_stages=2, embed_dims=16, ffn_dim=32,
+        num_classes=2, featmap_strides=[4, 8, 16, 32]),
+        None, dict(max_per_img=10, score_thr=0.0))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    batch = _mini_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    # learnable proposals live in the param tree
+    assert "init_proposal_boxes" in variables["params"]
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert float(losses["num_pos"]) == 5.0     # one-to-one set matching
+    assert "loss_s0.cls" in losses             # per-stage losses
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 10, 5)
