@@ -1,5 +1,6 @@
 from . import losses  # noqa: F401 — register losses
 from .backbones.darknet import Darknet
+from .backbones.hourglass import HourglassNet
 from .backbones.hrnet import HRFPN, HRNet
 from .backbones.regnet import RegNet
 from .backbones.res2net import Res2Net
@@ -19,6 +20,7 @@ from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.fovea_head import FoveaHead
 from .dense_heads.vfnet_head import VFNetHead
 from .dense_heads.autoassign_head import AutoAssignHead
+from .dense_heads.corner_head import CornerHead, corner_pool
 from .dense_heads.deformable_detr_head import (DeformableDETRHead,
                                                MSDeformAttention)
 from .dense_heads.paa_head import PAAHead
@@ -35,7 +37,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "Res2Net", "RegNet", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "RegNet", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
@@ -43,7 +45,7 @@ __all__ = [
 from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
 from .dense_heads.ssd_head import SSDHead  # noqa: E402
-from .detectors.single_stage import (CenterNet, DETR,  # noqa: E402
+from .detectors.single_stage import (CenterNet, CornerNet, DETR,  # noqa: E402
                                      AutoAssign, DeformableDETR, FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
 from .detectors.sparse_rcnn import SparseRCNN  # noqa: E402
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402

@@ -184,3 +184,8 @@ class AutoAssign(SingleStageDetector):
 @DETECTORS.register_module()
 class DeformableDETR(SingleStageDetector):
     """mmdet models/detectors/deformable_detr.py parity."""
+
+
+@DETECTORS.register_module()
+class CornerNet(SingleStageDetector):
+    """mmdet models/detectors/cornernet.py parity (CornerHead shell)."""

@@ -788,3 +788,55 @@ def test_sparse_rcnn():
                           jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 10, 5)
+
+
+def test_cornernet():
+    from pointtinybenchmark_tpu.models import corner_pool
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    # 'top' pool: each pixel sees the max of everything below it
+    assert float(corner_pool(x, "top")[0, 0, 0, 0]) == 12.0
+    assert float(corner_pool(x, "left")[0, 0, 0, 0]) == 3.0
+    assert float(corner_pool(x, "bottom")[0, 3, 0, 0]) == 12.0
+    assert float(corner_pool(x, "right")[0, 0, 3, 0]) == 3.0
+
+    model = build_detector(dict(
+        type="CornerNet",
+        backbone=dict(type="HourglassNet", downsample_times=3, num_stacks=2,
+                      stage_channels=(8, 8, 12, 16),
+                      stage_blocks=(1, 1, 1, 1), feat_channel=8),
+        bbox_head=dict(type="CornerHead", num_classes=2, in_channels=8,
+                       feat_channels=8, stride=4)),
+        None, dict(corner_topk=16, max_per_img=10, score_thr=0.05,
+                   distance_threshold=0.5))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    bb = rng.rand(2, 4, 4).astype(np.float32) * 20
+    bb[..., 2:] = bb[..., :2] + 12 + rng.rand(2, 4, 2).astype(np.float32) * 25
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 4)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], bool),
+                 img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert {"loss_heatmap", "loss_pull", "loss_push",
+            "loss_offset"} <= set(losses)
+    assert float(losses["num_pos"]) == 5.0
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 10, 5)
+
+
+def test_hourglass_backbone():
+    from pointtinybenchmark_tpu.models import HourglassNet
+    m = HourglassNet(downsample_times=3, num_stacks=2,
+                     stage_channels=(8, 8, 12, 16),
+                     stage_blocks=(1, 1, 1, 1), feat_channel=8)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    # stride-4 feature from every stack (intermediate supervision)
+    assert len(outs) == 2 and all(o.shape == (1, 16, 16, 8) for o in outs)
