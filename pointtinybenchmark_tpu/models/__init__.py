@@ -18,6 +18,7 @@ from .dense_heads.cpr_head import CascadeCPRHead, CPRHead
 from .dense_heads.detr_head import DETRHead
 from .dense_heads.fcos_head import FCOSHead
 from .dense_heads.fovea_head import FoveaHead
+from .dense_heads.fsaf_head import FSAFHead
 from .dense_heads.vfnet_head import VFNetHead
 from .dense_heads.autoassign_head import AutoAssignHead
 from .dense_heads.corner_head import CornerHead, corner_pool
@@ -37,7 +38,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "RegNet", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "RegNet", "SSDVGG", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
@@ -46,7 +47,7 @@ from .dense_heads.reppoints_head import RepPointsHead  # noqa: E402
 from .dense_heads.rpn_head import RPNHead  # noqa: E402
 from .dense_heads.ssd_head import SSDHead  # noqa: E402
 from .detectors.single_stage import (CenterNet, CornerNet, DETR,  # noqa: E402
-                                     AutoAssign, DeformableDETR, FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
+                                     AutoAssign, DeformableDETR, FSAF, FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
 from .detectors.sparse_rcnn import SparseRCNN  # noqa: E402
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   MaskRCNN, TwoStageDetector)

@@ -189,3 +189,8 @@ class DeformableDETR(SingleStageDetector):
 @DETECTORS.register_module()
 class CornerNet(SingleStageDetector):
     """mmdet models/detectors/cornernet.py parity (CornerHead shell)."""
+
+
+@DETECTORS.register_module()
+class FSAF(SingleStageDetector):
+    """mmdet models/detectors/fsaf.py parity (FSAFHead shell)."""

@@ -840,3 +840,30 @@ def test_hourglass_backbone():
     outs = m.apply(v, x)
     # stride-4 feature from every stack (intermediate supervision)
     assert len(outs) == 2 and all(o.shape == (1, 16, 16, 8) for o in outs)
+
+
+def test_fsaf():
+    model = build_detector(dict(
+        type="FSAF",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=0, add_extra_convs="on_input", num_outs=5),
+        bbox_head=dict(type="FSAFHead", num_classes=2, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       strides=[4, 8, 16, 32, 64])),
+        None, dict(nms_pre=100, score_thr=0.01,
+                   nms=dict(iou_threshold=0.5), max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    batch = _mini_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    # online level selection assigns every valid gt somewhere
+    assert float(losses["num_pos"]) >= 5
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
