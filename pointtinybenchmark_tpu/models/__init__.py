@@ -49,6 +49,7 @@ from .dense_heads.ssd_head import SSDHead  # noqa: E402
 from .detectors.single_stage import (CenterNet, CornerNet, DETR,  # noqa: E402
                                      AutoAssign, DeformableDETR, FSAF, FoveaBox, RepPointsDetector, VFNet, YOLOF, YOLOV3)
 from .detectors.sparse_rcnn import SparseRCNN  # noqa: E402
+from .detectors.yolact import YOLACT  # noqa: E402
 from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
                                   MaskRCNN, TwoStageDetector)
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402

@@ -118,3 +118,44 @@ def test_maskrcnn_forward_backward():
                                  method=model.simple_test)
     assert seg.shape == (2, 10, 14, 14)
     assert float(jnp.min(seg)) >= 0 and float(jnp.max(seg)) <= 1
+
+
+def test_yolact():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pointtinybenchmark_tpu.models import build_detector
+    model = build_detector(dict(
+        type="YOLACT",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=1, add_extra_convs="on_input", num_outs=3),
+        num_classes=2, num_protos=8, feat_channels=16, mask_pos_budget=16,
+        strides=[8, 16, 32],
+        anchor_generator=dict(octave_base_scale=3, scales_per_octave=1,
+                              ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32])),
+        None, dict(nms_pre=200, score_thr=0.02,
+                   nms=dict(iou_threshold=0.5), max_per_img=20))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    bb = rng.rand(2, 4, 4).astype(np.float32) * 20
+    bb[..., 2:] = bb[..., :2] + 16 + rng.rand(2, 4, 2).astype(np.float32) * 25
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 4)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], bool),
+                 img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"],
+                            rngs={"sampler": jax.random.PRNGKey(1)})
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    assert {"loss_cls", "loss_bbox", "loss_mask",
+            "loss_semantic"} <= set(losses)
+    assert float(losses["num_pos"]) > 0
+    dets, protos = model.apply(variables, img,
+                               jnp.asarray([[64, 64], [60, 62]]),
+                               method=model.simple_test)
+    assert dets.bboxes.shape == (2, 20, 5)
+    # protonet emits k prototype masks at 1/4 input resolution
+    assert protos.shape == (2, 16, 16, 8)
