@@ -867,3 +867,19 @@ def test_fsaf():
                           jnp.asarray([[64, 64], [60, 62]]),
                           method=model.simple_test)
     assert dets.bboxes.shape == (2, 20, 5)
+
+
+def test_trident_resnet():
+    from pointtinybenchmark_tpu.models import TridentResNet
+    m = TridentResNet(depth=50, base_channels=8, out_indices=(3,))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    # shared 3x3 kernel: exactly one conv2_kernel param per trident block
+    flat = [jax.tree_util.keystr(k) for k, _ in
+            jax.tree_util.tree_leaves_with_path(v["params"])]
+    assert sum("conv2_kernel" in s for s in flat) == 3  # r50 C5 has 3 blocks
+    # train: 3 branch outputs; test: single test_branch output
+    outs = m.apply(v, x, train=True, mutable=["batch_stats"])[0]
+    assert len(outs) == 3
+    outs_t = m.apply(v, x, train=False)
+    assert len(outs_t) == 1 and outs_t[0].shape == (1, 2, 2, 256)
