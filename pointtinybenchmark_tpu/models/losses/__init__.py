@@ -4,13 +4,14 @@ from .focal_loss import FocalLoss, sigmoid_focal_loss
 from .gfocal_loss import DistributionFocalLoss, QualityFocalLoss
 from .iou_loss import DIoULoss, GIoULoss, IoULoss
 from .mil_loss import AllPosLoss, MILLoss
-from .smooth_l1_loss import L1Loss, MSELoss, SmoothL1Loss
+from .smooth_l1_loss import (BalancedL1Loss, L1Loss, MSELoss,
+                             SmoothL1Loss)
 from .utils import accuracy, reduce_loss, weight_reduce_loss
 from .weighted_hausdorff_distance import (WeightedHausdorffDistanceLoss,
                                           weighted_hausdorff_distance)
 
 __all__ = [
-    "GHMC", "GHMR", "SeesawLoss", "VarifocalLoss",
+    "GHMC", "GHMR", "SeesawLoss", "VarifocalLoss", "BalancedL1Loss",
     "FocalLoss", "sigmoid_focal_loss", "QualityFocalLoss",
     "DistributionFocalLoss", "CrossEntropyLoss", "SmoothL1Loss",
     "L1Loss", "MSELoss", "IoULoss", "GIoULoss", "DIoULoss", "MILLoss",

@@ -240,3 +240,22 @@ def test_seesaw_loss_properties():
     comp = SeesawLoss(num_classes=4, p=0.0, q=2.0)(pred, target)
     assert float(mit) <= float(plain) + 1e-4
     assert float(comp) >= float(plain) - 1e-4
+
+
+def test_balanced_l1_matches_reference_formula():
+    from pointtinybenchmark_tpu.models.losses import BalancedL1Loss
+    rng = np.random.RandomState(7)
+    pred = torch.from_numpy(rng.randn(30, 4).astype(np.float32))
+    target = torch.from_numpy(rng.randn(30, 4).astype(np.float32))
+    alpha, gamma, beta = 0.5, 1.5, 1.0
+    # mmdet balanced_l1_loss reference formula
+    diff = (pred - target).abs()
+    b = np.e ** (gamma / alpha) - 1
+    want = torch.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * torch.log(b * diff / beta + 1)
+        - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta).sum().numpy()
+    got = BalancedL1Loss(alpha=alpha, gamma=gamma, beta=beta)(
+        jnp.asarray(np.asarray(pred)), jnp.asarray(np.asarray(target)))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)

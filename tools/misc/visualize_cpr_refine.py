@@ -21,6 +21,11 @@ def main():
     p.add_argument("--img-prefix", default="")
     p.add_argument("--output-dir", default="work_dirs/cpr_debug")
     p.add_argument("--number", type=int, default=10)
+    p.add_argument("--stats", action="store_true",
+                   help="print refine-rate / outside-rate statistics "
+                        "(TestCPRHead parity) instead of images")
+    p.add_argument("--move-thr", type=float, default=1.0,
+                   help="min pixel movement to count as refined")
     args = p.parse_args()
 
     import numpy as np
@@ -35,6 +40,10 @@ def main():
     for a in ds["annotations"]:
         by_img.setdefault(a["image_id"], []).append(a)
     imgs = {i["id"]: i for i in ds["images"]}
+
+    if args.stats:
+        print_refine_stats(ds, by_ann, move_thr=args.move_thr)
+        return
 
     os.makedirs(args.output_dir, exist_ok=True)
     for n, (img_id, anns) in enumerate(by_img.items()):
@@ -62,6 +71,45 @@ def main():
         out = osp.join(args.output_dir, f"refine_{img_id}.png")
         pil.save(out)
         print("wrote", out)
+
+
+def print_refine_stats(ds, by_ann, move_thr: float = 1.0):
+    """Refine-rate / outside-rate statistics (reference TestCPRHead
+    cpr_head.py:1330-1607): how many annotated points moved, and how many
+    refined points fall outside their object's true box (needs
+    `true_bbox` in the annotations — noise-point datasets have it)."""
+    import numpy as np
+    moved, total, outside, with_tb = 0, 0, 0, 0
+    dists = []
+    for a in ds["annotations"]:
+        det = by_ann.get(a["id"])
+        if det is None:
+            continue
+        total += 1
+        x, y, w, h = a["bbox"]
+        ox, oy = x + w / 2, y + h / 2
+        bx, by_, bw, bh = det["bbox"]
+        rx, ry = bx + bw / 2, by_ + bh / 2
+        d = float(np.hypot(rx - ox, ry - oy))
+        dists.append(d)
+        if d > move_thr:
+            moved += 1
+        tb = a.get("true_bbox")
+        if tb is not None:
+            with_tb += 1
+            tx, ty, tw, th = tb
+            if not (tx <= rx <= tx + tw and ty <= ry <= ty + th):
+                outside += 1
+    if total == 0:
+        print("no matched annotations")
+        return
+    print(f"points: {total}")
+    print(f"refine rate: {moved / total:.4f} (moved > {move_thr}px)")
+    print(f"mean move: {float(np.mean(dists)):.2f}px  "
+          f"median: {float(np.median(dists)):.2f}px")
+    if with_tb:
+        print(f"outside rate: {outside / with_tb:.4f} "
+              f"(of {with_tb} with true_bbox)")
 
 
 if __name__ == "__main__":
