@@ -4,6 +4,7 @@ from .backbones.hourglass import HourglassNet
 from .backbones.hrnet import HRFPN, HRNet
 from .backbones.regnet import RegNet
 from .backbones.res2net import Res2Net
+from .backbones.resnest import ResNeSt
 from .backbones.ssd_vgg import SSDVGG
 from .backbones.trident_resnet import TridentResNet
 from .necks.extra_necks import BFP, ChannelMapper
@@ -39,7 +40,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
