@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..utils.registry import BBOX_SAMPLERS
 
 __all__ = ["SamplingResult", "RandomSampler", "PseudoSampler",
-           "OHEMSampler", "random_topk_mask"]
+           "OHEMSampler", "IoUBalancedNegSampler", "random_topk_mask"]
 
 
 class SamplingResult(NamedTuple):
@@ -141,4 +141,61 @@ class OHEMSampler:
             neg_allow = jnp.asarray(num_neg_budget)
         neg_cand, neg_rank = topk_by_loss(neg_cand, num_neg_budget)
         neg_mask = neg_cand & (neg_rank < neg_allow)
+        return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
+
+
+@BBOX_SAMPLERS.register_module()
+class IoUBalancedNegSampler(RandomSampler):
+    """IoU-balanced negative sampling (Libra R-CNN; mmdet core/bbox/
+    samplers/iou_balanced_neg_sampler.py).
+
+    Negatives are drawn evenly from `num_intervals` IoU bins over
+    [floor_thr, neg_iou_ub] plus a floor bin, instead of uniformly — hard
+    negatives (higher IoU) get proportionally more slots. Static-shape
+    version: each bin gets an equal sub-budget via random-priority top-k;
+    unfilled slots fall back to the global pool.
+    """
+
+    def __init__(self, num: int, pos_fraction: float,
+                 floor_thr: float = -1.0, floor_fraction: float = 0.0,
+                 num_bins: int = 3, neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True, **kwargs):
+        super().__init__(num, pos_fraction, neg_pos_ub, add_gt_as_proposals)
+        self.floor_thr = floor_thr
+        self.floor_fraction = floor_fraction
+        self.num_bins = num_bins
+
+    def sample(self, key: jax.Array, assigned_gt_inds: jnp.ndarray,
+               labels: jnp.ndarray,
+               max_overlaps: jnp.ndarray = None) -> SamplingResult:
+        if max_overlaps is None:
+            return super().sample(key, assigned_gt_inds, labels)
+        kp, kn = jax.random.split(key)
+        pos_cand = assigned_gt_inds > 0
+        neg_cand = assigned_gt_inds == 0
+        num_pos_budget = int(self.num * self.pos_fraction)
+        pos_mask = random_topk_mask(kp, pos_cand, num_pos_budget)
+        neg_budget = self.num - num_pos_budget
+
+        floor = max(self.floor_thr, 0.0)
+        # bin edges over (floor, 0.5]; negatives above neg thr don't occur
+        hi = 0.5
+        per_bin = max(neg_budget // (self.num_bins + 1), 1)
+        neg_mask = jnp.zeros_like(neg_cand)
+        keys = jax.random.split(kn, self.num_bins + 2)
+        # floor bin: overlaps <= floor
+        cand0 = neg_cand & (max_overlaps <= floor)
+        neg_mask = neg_mask | random_topk_mask(keys[0], cand0, per_bin)
+        width = (hi - floor) / self.num_bins
+        for i in range(self.num_bins):
+            lo_i = floor + i * width
+            hi_i = floor + (i + 1) * width
+            cand = neg_cand & (max_overlaps > lo_i) & (max_overlaps <= hi_i)
+            neg_mask = neg_mask | random_topk_mask(keys[i + 1], cand,
+                                                   per_bin)
+        # fill remaining budget from the whole negative pool
+        short = neg_budget - per_bin * (self.num_bins + 1)
+        if short > 0:
+            rest = neg_cand & ~neg_mask
+            neg_mask = neg_mask | random_topk_mask(keys[-1], rest, short)
         return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)

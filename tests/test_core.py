@@ -250,3 +250,24 @@ def test_tblr_coder_roundtrip():
     enc = bbox2tblr(jnp.asarray(priors), jnp.asarray(gts))
     dec = tblr2bbox(jnp.asarray(priors), enc)
     np.testing.assert_allclose(np.asarray(dec), gts, atol=1e-4)
+
+
+def test_iou_balanced_neg_sampler():
+    import jax
+    from pointtinybenchmark_tpu.core.samplers import IoUBalancedNegSampler
+    n = 300
+    rng = np.random.RandomState(0)
+    assigned = jnp.asarray([1] * 10 + [0] * (n - 10), jnp.int32)
+    labels = jnp.where(assigned > 0, 0, -1)
+    # negatives: 10 hard (iou ~0.45), rest easy (iou ~0.05)
+    ov = np.full((n,), 0.05, np.float32)
+    ov[10:20] = 0.45
+    res = IoUBalancedNegSampler(num=64, pos_fraction=0.25, num_bins=3).\
+        sample(jax.random.PRNGKey(0), assigned, labels,
+               max_overlaps=jnp.asarray(ov))
+    neg = np.where(np.asarray(res.neg_mask))[0]
+    assert len(neg) <= 48
+    # hard negatives oversampled: all 10 hard ones land in their own bin
+    hard_picked = ((neg >= 10) & (neg < 20)).sum()
+    assert hard_picked >= 8
+    # plain-random baseline would pick ~ 48 * 10/290 ≈ 1.7 of them
