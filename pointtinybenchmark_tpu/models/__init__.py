@@ -7,7 +7,7 @@ from .backbones.res2net import Res2Net
 from .backbones.resnest import ResNeSt
 from .backbones.ssd_vgg import SSDVGG
 from .backbones.trident_resnet import TridentResNet
-from .necks.extra_necks import BFP, ChannelMapper
+from .necks.extra_necks import BFP, ChannelMapper, MergeCell, NASFPN
 from .backbones.mobilenet_v2 import MobileNetV2
 from .backbones.resnet import ResNet, ResNeXt
 from .builder import (build_backbone, build_detector, build_head, build_model,
@@ -40,7 +40,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

@@ -899,3 +899,21 @@ def test_resnest_backbone():
     flat = [jax.tree_util.keystr(k) for k, _ in
             jax.tree_util.tree_leaves_with_path(v["params"])]
     assert any("splat" in s and "fc2" in s for s in flat)
+
+
+def test_nasfpn_neck():
+    from pointtinybenchmark_tpu.models import NASFPN
+    feats = tuple(jnp.asarray(
+        np.random.RandomState(0).rand(1, s, s, c), jnp.float32)
+        for s, c in ((16, 16), (8, 32), (4, 64)))
+    m = NASFPN(in_channels=(16, 32, 64), out_channels=8, num_outs=5,
+               stack_times=2)
+    v = m.init(jax.random.PRNGKey(0), feats)
+    outs = m.apply(v, feats)
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
+    assert all(o.shape[-1] == 8 for o in outs)
+    # the discovered topology: 7 merge cells with out-convs per stage
+    flat = [jax.tree_util.keystr(k) for k, _ in
+            jax.tree_util.tree_leaves_with_path(v["params"])]
+    assert any("s0_gp_64_4" in s for s in flat)
+    assert any("s1_sum_77_7" in s for s in flat)
