@@ -524,6 +524,161 @@ class CutOut:
 
 
 @PIPELINES.register_module()
+class Translate:
+    """Translate image + boxes (mmdet auto_augment.py Translate):
+    offset = level/10 * max_translate_offset px along `direction`,
+    applied with probability `prob`; boxes clipped, empty boxes kept
+    (filtered downstream)."""
+
+    def __init__(self, level: float = 5, prob: float = 0.5,
+                 direction: str = "horizontal",
+                 max_translate_offset: float = 250.0,
+                 img_fill_val: float = 128.0):
+        self.offset = int(level / 10 * max_translate_offset)
+        self.prob = prob
+        self.direction = direction
+        self.img_fill_val = img_fill_val
+
+    def __call__(self, results: dict) -> dict:
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        if rng.uniform() > self.prob:
+            return results
+        off = self.offset * (1 if rng.randint(2) else -1)
+        img = results["img"]
+        h, w = img.shape[:2]
+        lim = (w if self.direction == "horizontal" else h) - 1
+        off = int(np.clip(off, -lim, lim))
+        out = np.full_like(img, self.img_fill_val)
+        if self.direction == "horizontal":
+            if off >= 0:
+                out[:, off:] = img[:, :w - off]
+            else:
+                out[:, :w + off] = img[:, -off:]
+            delta = np.asarray([off, 0, off, 0], np.float32)
+        else:
+            if off >= 0:
+                out[off:] = img[:h - off]
+            else:
+                out[:h + off] = img[-off:]
+            delta = np.asarray([0, off, 0, off], np.float32)
+        results["img"] = out
+        for key in results.get("bbox_fields", []):
+            b = results[key] + delta
+            b[:, 0::2] = np.clip(b[:, 0::2], 0, w)
+            b[:, 1::2] = np.clip(b[:, 1::2], 0, h)
+            results[key] = b
+        return results
+
+
+def _warp_boxes(boxes: np.ndarray, mat: np.ndarray, w: int, h: int):
+    """Affine-warp boxes by 2x3 matrix; output = axis-aligned hull."""
+    if len(boxes) == 0:
+        return boxes
+    corners = np.stack([
+        boxes[:, [0, 1]], boxes[:, [2, 1]],
+        boxes[:, [0, 3]], boxes[:, [2, 3]]], 1)          # (N, 4, 2)
+    ones = np.ones((*corners.shape[:2], 1), np.float32)
+    pts = np.concatenate([corners, ones], -1) @ mat.T    # (N, 4, 2)
+    out = np.concatenate([pts.min(1), pts.max(1)], -1)
+    out[:, 0::2] = np.clip(out[:, 0::2], 0, w)
+    out[:, 1::2] = np.clip(out[:, 1::2], 0, h)
+    return out.astype(np.float32)
+
+
+@PIPELINES.register_module()
+class Rotate:
+    """Rotate image + boxes about the center (mmdet auto_augment.py Rotate);
+    boxes become the axis-aligned hull of their rotated corners."""
+
+    def __init__(self, level: float = 5, prob: float = 0.5,
+                 max_rotate_angle: float = 30.0,
+                 img_fill_val: float = 128.0):
+        self.angle = level / 10 * max_rotate_angle
+        self.prob = prob
+        self.img_fill_val = img_fill_val
+
+    def __call__(self, results: dict) -> dict:
+        from PIL import Image
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        if rng.uniform() > self.prob:
+            return results
+        ang = self.angle * (1 if rng.randint(2) else -1)
+        img = results["img"]
+        h, w = img.shape[:2]
+        pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+        pil = pil.rotate(ang, resample=Image.BILINEAR,
+                         fillcolor=tuple([int(self.img_fill_val)] * 3))
+        results["img"] = np.asarray(pil).astype(img.dtype)
+        # PIL rotates CCW about the center; box matrix rotates the same way
+        t = np.deg2rad(ang)
+        cx, cy = w / 2, h / 2
+        c_, s_ = np.cos(t), np.sin(t)
+        # image coords: y down, so CCW visual = this matrix
+        mat = np.asarray([[c_, s_, cx - c_ * cx - s_ * cy],
+                          [-s_, c_, cy + s_ * cx - c_ * cy]], np.float32)
+        for key in results.get("bbox_fields", []):
+            results[key] = _warp_boxes(results[key], mat, w, h)
+        return results
+
+
+@PIPELINES.register_module()
+class Shear:
+    """Shear image + boxes (mmdet auto_augment.py Shear)."""
+
+    def __init__(self, level: float = 5, prob: float = 0.5,
+                 direction: str = "horizontal",
+                 max_shear_magnitude: float = 0.3,
+                 img_fill_val: float = 128.0):
+        self.mag = level / 10 * max_shear_magnitude
+        self.prob = prob
+        self.direction = direction
+        self.img_fill_val = img_fill_val
+
+    def __call__(self, results: dict) -> dict:
+        from PIL import Image
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        if rng.uniform() > self.prob:
+            return results
+        m = self.mag * (1 if rng.randint(2) else -1)
+        img = results["img"]
+        h, w = img.shape[:2]
+        pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+        if self.direction == "horizontal":
+            coeffs = (1, m, 0, 0, 1, 0)   # inverse map x' = x + m*y
+            mat = np.asarray([[1, -m, 0], [0, 1, 0]], np.float32)
+        else:
+            coeffs = (1, 0, 0, m, 1, 0)
+            mat = np.asarray([[1, 0, 0], [-m, 1, 0]], np.float32)
+        pil = pil.transform((w, h), Image.AFFINE, coeffs,
+                            resample=Image.BILINEAR,
+                            fillcolor=tuple([int(self.img_fill_val)] * 3))
+        results["img"] = np.asarray(pil).astype(img.dtype)
+        for key in results.get("bbox_fields", []):
+            results[key] = _warp_boxes(results[key], mat, w, h)
+        return results
+
+
+@PIPELINES.register_module()
+class AutoAugment:
+    """mmdet datasets/pipelines/auto_augment.py: pick one policy
+    (sub-pipeline) uniformly at random per sample and apply it."""
+
+    def __init__(self, policies):
+        assert policies and all(isinstance(p, (list, tuple))
+                                for p in policies)
+        self.policies = [Compose(list(p)) for p in policies]
+
+    def __call__(self, results: dict):
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        policy = self.policies[rng.randint(len(self.policies))]
+        return policy(results)
+
+
+@PIPELINES.register_module()
 class DefaultFormatBundle:
     """No-op marker kept for config parity (tensors are built by the
     collator)."""

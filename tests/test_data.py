@@ -342,3 +342,32 @@ def test_cityscapes_and_widerface_datasets(tmp_path):
     assert ann["labels"].tolist() == [0]  # person -> class 0
     from pointtinybenchmark_tpu.data import WIDERFaceDataset
     assert WIDERFaceDataset.CLASSES == ("face",)
+
+
+def test_auto_augment_transforms():
+    from pointtinybenchmark_tpu.data.transforms import (AutoAugment, Rotate,
+                                                        Shear, Translate)
+    base = dict(img=np.ones((40, 60, 3), np.float32) * 100,
+                gt_bboxes=np.asarray([[10., 10., 30., 30.]], np.float32),
+                gt_labels=np.asarray([0]), bbox_fields=["gt_bboxes"],
+                _rng=np.random.RandomState(3))
+    out = Translate(level=5, prob=1.0, max_translate_offset=20)(dict(base))
+    wh = out["gt_bboxes"][:, 2:] - out["gt_bboxes"][:, :2]
+    assert (wh > 0).all()
+    # 90-degree-free rotation keeps the box hull centered-ish and valid
+    out = Rotate(level=5, prob=1.0)(dict(base))
+    b = out["gt_bboxes"][0]
+    assert b[2] > b[0] and b[3] > b[1]
+    # rotation by a small angle grows the hull (axis-aligned cover)
+    assert (b[2] - b[0]) >= 20 - 1e-3
+    out = Shear(level=5, prob=1.0)(dict(base))
+    assert out["gt_bboxes"].shape == (1, 4)
+    aa = AutoAugment(policies=[
+        [dict(type="Rotate", level=5, prob=1.0)],
+        [dict(type="Translate", level=3, prob=1.0,
+              direction="vertical")]])
+    for seed in range(4):
+        r = dict(base)
+        r["_rng"] = np.random.RandomState(seed)
+        out = aa(r)
+        assert out["img"].shape == (40, 60, 3)
