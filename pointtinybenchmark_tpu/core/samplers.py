@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from ..utils.registry import BBOX_SAMPLERS
 
 __all__ = ["SamplingResult", "RandomSampler", "PseudoSampler",
-           "OHEMSampler", "IoUBalancedNegSampler", "random_topk_mask"]
+           "OHEMSampler", "IoUBalancedNegSampler", "ScoreHLRSampler",
+           "random_topk_mask"]
 
 
 class SamplingResult(NamedTuple):
@@ -198,4 +199,53 @@ class IoUBalancedNegSampler(RandomSampler):
         if short > 0:
             rest = neg_cand & ~neg_mask
             neg_mask = neg_mask | random_topk_mask(keys[-1], rest, short)
+        return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
+
+
+@BBOX_SAMPLERS.register_module()
+class ScoreHLRSampler(RandomSampler):
+    """Score-based hard-to-learn-rate negative sampling (PISA; mmdet
+    core/bbox/samplers/score_hlr_sampler.py).
+
+    The reference ranks negatives by their max foreground score and samples
+    with probability ∝ (linear rank weight)^k + bias. Static-shape version:
+    weighted sampling without replacement via the Efraimidis–Spirakis
+    exponential-key trick (key = u^(1/w)), one top-k — no host loop.
+    """
+
+    def __init__(self, num: int, pos_fraction: float, k: float = 0.5,
+                 bias: float = 0.0, neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True, **kwargs):
+        super().__init__(num, pos_fraction, neg_pos_ub, add_gt_as_proposals)
+        self.k = k
+        self.bias = bias
+
+    def sample(self, key: jax.Array, assigned_gt_inds: jnp.ndarray,
+               labels: jnp.ndarray,
+               neg_scores: jnp.ndarray = None) -> SamplingResult:
+        """neg_scores: (N,) max foreground prob per candidate (higher =
+        harder negative). Falls back to uniform when absent."""
+        if neg_scores is None:
+            return super().sample(key, assigned_gt_inds, labels)
+        kp, kn = jax.random.split(key)
+        pos_cand = assigned_gt_inds > 0
+        neg_cand = assigned_gt_inds == 0
+        num_pos_budget = int(self.num * self.pos_fraction)
+        pos_mask = random_topk_mask(kp, pos_cand, num_pos_budget)
+        neg_budget = self.num - num_pos_budget
+        n = assigned_gt_inds.shape[0]
+        # rank-normalize scores over the candidate pool: hardest -> 1
+        sc = jnp.where(neg_cand, neg_scores, -1.0)
+        order = jnp.argsort(-sc)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        pool = jnp.maximum(neg_cand.sum(), 1)
+        lin = jnp.clip(1.0 - rank.astype(jnp.float32) / pool, 0.0, 1.0)
+        w = self.bias + (1.0 - self.bias) * lin ** self.k
+        w = jnp.where(neg_cand, jnp.maximum(w, 1e-6), 0.0)
+        # Efraimidis-Spirakis: top-k of u^(1/w) samples ∝ w w/o replacement
+        u = jax.random.uniform(kn, (n,), minval=1e-6, maxval=1.0)
+        keys_es = jnp.where(neg_cand, u ** (1.0 / w), -1.0)
+        kth = jax.lax.top_k(keys_es, min(neg_budget, n))[0][-1]
+        neg_mask = neg_cand & (keys_es >= jnp.maximum(kth, 0.0))
         return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)

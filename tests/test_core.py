@@ -271,3 +271,28 @@ def test_iou_balanced_neg_sampler():
     hard_picked = ((neg >= 10) & (neg < 20)).sum()
     assert hard_picked >= 8
     # plain-random baseline would pick ~ 48 * 10/290 ≈ 1.7 of them
+
+
+def test_score_hlr_sampler_prefers_hard_negatives():
+    import jax
+    from pointtinybenchmark_tpu.core.samplers import ScoreHLRSampler
+    n = 400
+    assigned = jnp.asarray([1] * 8 + [0] * (n - 8), jnp.int32)
+    labels = jnp.where(assigned > 0, 0, -1)
+    # 20 hard negatives (high fg score), rest easy
+    sc = np.full((n,), 0.01, np.float32)
+    sc[8:28] = 0.9
+    s = ScoreHLRSampler(num=64, pos_fraction=0.25, k=0.5, bias=0.0)
+    picked_hard = 0
+    for seed in range(5):
+        res = s.sample(jax.random.PRNGKey(seed), assigned, labels,
+                       neg_scores=jnp.asarray(sc))
+        neg = np.where(np.asarray(res.neg_mask))[0]
+        assert len(neg) <= 48
+        picked_hard += ((neg >= 8) & (neg < 28)).sum()
+    # uniform sampling would pick ~ 20/392 * 48 * 5 = 12.2 hard negatives;
+    # rank-linear weighting (k=0.5) prefers them ~1.45x -> expect > 16
+    assert picked_hard > 16
+    # without scores -> uniform fallback still respects budget
+    res = s.sample(jax.random.PRNGKey(0), assigned, labels)
+    assert int(np.asarray(res.neg_mask).sum()) <= 48
