@@ -293,3 +293,88 @@ def test_cpr_refines_noisy_points_toward_centers():
     # refinement must reduce mean distance to the true centers
     assert d_after.mean() < d_before.mean() * 0.9, (
         d_before.mean(), d_after.mean(), frac_refined)
+
+
+@pytest.mark.slow
+def test_atss_learns_synthetic_squares():
+    """ATSS end-to-end convergence: adaptive mean+std IoU thresholding must
+    still produce a trainable positive set on synthetic bright squares."""
+    model = build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=16,
+                           norm_eval=False),
+             neck=dict(type="FPN", in_channels=[16, 32, 64, 128],
+                       out_channels=32, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="ATSSHead", num_classes=1, in_channels=32,
+                 feat_channels=32, stacked_convs=1,
+                 norm_cfg=dict(type="GN", num_groups=8),
+                 anchor_generator=dict(type="AnchorGenerator",
+                                       octave_base_scale=2,
+                                       scales_per_octave=1,
+                                       ratios=[1.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[0.1, 0.1, 0.2, 0.2]),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                               gamma=2.0, alpha=0.25, loss_weight=1.0),
+                 loss_bbox=dict(type="GIoULoss", loss_weight=2.0))),
+        dict(assigner=dict(type="ATSSAssigner", topk=9),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.2,
+             nms=dict(type="nms", iou_threshold=0.6), max_per_img=10))
+
+    imgs, boxes, valids = _make_data()
+    b = 8
+    tx = optax.adam(2e-3)
+    batch0 = dict(img=jnp.asarray(imgs[:b]))
+    params, batch_stats = init_model(model, batch0)
+    state = dict(params=params, batch_stats=batch_stats,
+                 opt_state=tx.init(params), step=jnp.int32(0))
+    train_step = make_train_step(model, tx)
+
+    rng = jax.random.PRNGKey(0)
+    n = len(imgs)
+    first_loss = last_loss = None
+    for step in range(150):
+        sel = np.random.RandomState(step).choice(n, b, replace=False)
+        batch = dict(img=jnp.asarray(imgs[sel]),
+                     gt_bboxes=jnp.asarray(boxes[sel]),
+                     gt_labels=jnp.zeros((b, boxes.shape[1]), jnp.int32),
+                     gt_valid=jnp.asarray(valids[sel]),
+                     img_shape=jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                        (b, 1)))
+        rng, k = jax.random.split(rng)
+        state, metrics = train_step(state, batch, k)
+        loss = float(metrics["loss"])
+        if first_loss is None:
+            first_loss = loss
+        last_loss = loss
+    assert last_loss < first_loss * 0.5, (first_loss, last_loss)
+
+    variables = {"params": state["params"]}
+    if state["batch_stats"]:
+        variables["batch_stats"] = state["batch_stats"]
+    dets, _ = model.apply(variables, jnp.asarray(imgs[:b]),
+                          jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                   (b, 1)),
+                          method=model.simple_test)
+    db = np.asarray(dets.bboxes)
+    dv = np.asarray(dets.valid)
+    hits = 0
+    for i in range(b):
+        if not dv[i].any():
+            continue
+        top = db[i][dv[i]][0]
+        gts = boxes[i][valids[i]]
+        best = 0.0
+        for g in gts:
+            ix1, iy1 = max(top[0], g[0]), max(top[1], g[1])
+            ix2, iy2 = min(top[2], g[2]), min(top[3], g[3])
+            inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+            a1 = (top[2] - top[0]) * (top[3] - top[1])
+            a2 = (g[2] - g[0]) * (g[3] - g[1])
+            best = max(best, inter / max(a1 + a2 - inter, 1e-6))
+        hits += best > 0.3
+    assert hits >= b // 2, f"only {hits}/{b} top dets hit a gt"
