@@ -34,13 +34,14 @@ from .dense_heads.retina_head import RetinaHead
 from .dense_heads.yolo_head import YOLOV3Head, YOLOV3Neck
 from .detectors.single_stage import BasicLocator, SingleStageDetector
 from .necks.fpn import FPN
+from .necks.fpn_carafe import FPN_CARAFE
 from .necks.pafpn import PAFPN
 
 __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "FPN_CARAFE", "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

@@ -207,3 +207,49 @@ def test_pallas_suppression_matrix_interpret():
     want = np.asarray(bbox_overlaps(jnp.asarray(boxes),
                                     jnp.asarray(boxes))) > 0.5
     assert (got == want).all()
+
+
+def test_carafe_center_tap_is_nearest_upsample():
+    from pointtinybenchmark_tpu.ops.carafe import carafe
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 4, 6, 8).astype(np.float32))
+    k, g, s = 5, 2, 2
+    masks = np.zeros((2, 8, 12, g * k * k), np.float32)
+    masks[..., (k * k) // 2::k * k] = 1.0  # one-hot center tap, every group
+    out = np.asarray(carafe(x, jnp.asarray(masks), k_up=k, group=g, scale=s))
+    want = np.repeat(np.repeat(np.asarray(x), s, 1), s, 2)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_carafe_uniform_masks_average_interior():
+    from pointtinybenchmark_tpu.ops.carafe import carafe
+    x = jnp.ones((1, 6, 6, 4), jnp.float32)
+    k = 3
+    masks = jnp.full((1, 12, 12, k * k), 1.0 / (k * k))
+    out = np.asarray(carafe(x, masks, k_up=k, group=1, scale=2))
+    # interior output pixels see a full 3x3 ones neighbourhood -> exactly 1
+    np.testing.assert_allclose(out[0, 2:-2, 2:-2], 1.0, atol=1e-6)
+
+
+def test_carafe_pack_shapes_and_grad():
+    import jax
+    from pointtinybenchmark_tpu.ops.carafe import CARAFEPack
+    mod = CARAFEPack(channels=16, scale_factor=2)
+    x = jnp.ones((1, 5, 7, 16), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == (1, 10, 14, 16)
+    g = jax.grad(lambda p: mod.apply(p, x).sum())(params)
+    assert jnp.isfinite(
+        g["params"]["content_encoder"]["kernel"]).all()
+
+
+def test_fpn_carafe_output_shapes():
+    import jax
+    from pointtinybenchmark_tpu.models.necks.fpn_carafe import FPN_CARAFE
+    neck = FPN_CARAFE(in_channels=(8, 16, 32), out_channels=8, num_outs=5)
+    feats = [jnp.ones((1, 32, 32, 8)), jnp.ones((1, 16, 16, 16)),
+             jnp.ones((1, 8, 8, 32))]
+    params = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(params, feats)
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
