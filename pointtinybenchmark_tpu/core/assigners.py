@@ -60,12 +60,17 @@ class MaxIoUAssigner:
                gt_labels: Optional[jnp.ndarray] = None,   # (G,) int
                gt_bboxes_ignore: Optional[jnp.ndarray] = None,  # (GI, 4)
                gt_ignore_valid: Optional[jnp.ndarray] = None,
-               bbox_valid: Optional[jnp.ndarray] = None):
+               bbox_valid: Optional[jnp.ndarray] = None,
+               overlaps: Optional[jnp.ndarray] = None):
         n = bboxes.shape[0]
         # Padded gt columns get overlap 0 (not -1): anchors with no real gt
         # overlap must become negatives, matching the reference's
         # num_gt==0 -> all-background special case.
-        overlaps = bbox_overlaps(bboxes, gt_bboxes)          # (N, G)
+        # `overlaps` may be precomputed by the caller (ApproxMaxIoUAssigner
+        # semantics: max IoU over the approx group of each square anchor,
+        # reference core/bbox/assigners/approx_max_iou_assigner.py:59).
+        if overlaps is None:
+            overlaps = bbox_overlaps(bboxes, gt_bboxes)      # (N, G)
         overlaps = jnp.where(gt_valid[None, :], overlaps, 0.0)
 
         max_overlaps = jnp.max(overlaps, axis=1)             # (N,)

@@ -9,7 +9,7 @@ from ...ops.iou import bbox_overlaps_aligned
 from ...utils.registry import LOSSES
 from .utils import weight_reduce_loss
 
-__all__ = ["IoULoss", "GIoULoss", "DIoULoss"]
+__all__ = ["IoULoss", "GIoULoss", "DIoULoss", "BoundedIoULoss"]
 
 
 @LOSSES.register_module()
@@ -80,5 +80,46 @@ class DIoULoss:
         loss = 1 - ious + rho2 / c2
         if weight is not None and weight.ndim == pred.ndim:
             weight = weight.mean(-1)
+        loss = weight_reduce_loss(loss, weight, reduction, avg_factor)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class BoundedIoULoss:
+    """Bounded IoU loss (arXiv 1711.00164; mmdet losses/iou_loss.py
+    bounded_iou_loss) — smooth-L1 over per-coordinate bounded-IoU terms.
+    Used by GuidedAnchorHead as loss_shape. Target terms are
+    stop-gradiented (reference wraps them in no_grad)."""
+
+    def __init__(self, beta: float = 0.2, eps: float = 1e-3,
+                 reduction: str = "mean", loss_weight: float = 1.0):
+        self.beta = beta
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight: Optional[jnp.ndarray] = None,
+                 avg_factor=None, reduction_override=None):
+        import jax
+        reduction = reduction_override or self.reduction
+        target = jax.lax.stop_gradient(target)
+        pcx = (pred[..., 0] + pred[..., 2]) * 0.5
+        pcy = (pred[..., 1] + pred[..., 3]) * 0.5
+        pw = pred[..., 2] - pred[..., 0]
+        ph = pred[..., 3] - pred[..., 1]
+        tcx = (target[..., 0] + target[..., 2]) * 0.5
+        tcy = (target[..., 1] + target[..., 3]) * 0.5
+        tw = target[..., 2] - target[..., 0]
+        th = target[..., 3] - target[..., 1]
+        dx = jnp.abs(tcx - pcx)
+        dy = jnp.abs(tcy - pcy)
+        ldx = 1 - jnp.maximum((tw - 2 * dx) / (tw + 2 * dx + self.eps), 0.0)
+        ldy = 1 - jnp.maximum((th - 2 * dy) / (th + 2 * dy + self.eps), 0.0)
+        ldw = 1 - jnp.minimum(tw / (pw + self.eps), pw / (tw + self.eps))
+        ldh = 1 - jnp.minimum(th / (ph + self.eps), ph / (th + self.eps))
+        comb = jnp.stack([ldx, ldy, ldw, ldh], -1)
+        loss = jnp.where(comb < self.beta,
+                         0.5 * comb * comb / self.beta,
+                         comb - 0.5 * self.beta)
         loss = weight_reduce_loss(loss, weight, reduction, avg_factor)
         return self.loss_weight * loss

@@ -1,0 +1,135 @@
+"""Guided Anchoring (GA-Retina / GA-RPN) forward/backward/decode tests.
+
+Reference surfaces: mmdet models/dense_heads/guided_anchor_head.py,
+ga_retina_head.py, configs/guided_anchoring/ga_retinanet_r50_fpn_1x_coco.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pointtinybenchmark_tpu.models import build_detector, build_head
+
+
+def _demo_batch(b=2, g=5, num_classes=2, seed=1):
+    rng = np.random.RandomState(seed)
+    bb = rng.rand(b, g, 4).astype(np.float32) * 30
+    bb[..., 2:] = bb[..., :2] + 6 + rng.rand(b, g, 2).astype(np.float32) * 20
+    return dict(gt_bboxes=jnp.asarray(bb),
+                gt_labels=jnp.asarray(rng.randint(0, num_classes, (b, g)),
+                                      jnp.int32),
+                gt_valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]], bool),
+                img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+
+
+def _ga_retina():
+    return build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="GARetinaHead", num_classes=2, in_channels=16,
+                 feat_channels=16, stacked_convs=1, deform_groups=2,
+                 approx_anchor_generator=dict(
+                     type="AnchorGenerator", octave_base_scale=4,
+                     scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                     strides=[4, 8, 16, 32, 64]),
+                 square_anchor_generator=dict(
+                     type="AnchorGenerator", ratios=[1.0], scales=[4],
+                     strides=[4, 8, 16, 32, 64]),
+                 loss_loc=dict(type="FocalLoss", use_sigmoid=True,
+                               gamma=2.0, alpha=0.25, loss_weight=1.0),
+                 loss_shape=dict(type="BoundedIoULoss", beta=0.2,
+                                 loss_weight=1.0),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                               gamma=2.0, alpha=0.25, loss_weight=1.0),
+                 loss_bbox=dict(type="SmoothL1Loss", beta=0.04,
+                                loss_weight=1.0))),
+        dict(ga_assigner=dict(type="ApproxMaxIoUAssigner", pos_iou_thr=0.5,
+                              neg_iou_thr=0.4, min_pos_iou=0.4,
+                              ignore_iof_thr=-1),
+             ga_sampler=dict(type="RandomSampler", num=128, pos_fraction=0.5,
+                             neg_pos_ub=-1),
+             assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                           neg_iou_thr=0.5, min_pos_iou=0.0),
+             center_ratio=0.2, ignore_ratio=0.5, allowed_border=-1,
+             pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=50))
+
+
+def test_ga_retina_forward_backward_decode():
+    model = _ga_retina()
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"],
+                            rngs={"sampler": jax.random.PRNGKey(3)})
+    for k in ("loss_cls", "loss_bbox", "loss_shape", "loss_loc"):
+        assert np.isfinite(float(losses[k])), (k, float(losses[k]))
+    assert float(losses["num_pos"]) > 0
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"],
+                           rngs={"sampler": jax.random.PRNGKey(3)})
+        return sum(x for k, x in l.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables)
+    gn = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.abs(x).sum(), g["params"], 0.0))
+    assert np.isfinite(gn) and gn > 0
+    # the shape branch must receive gradient through BOTH the shape loss and
+    # the adaption offsets
+    shp_g = g["params"]["bbox_head_m"]["conv_shape"]["kernel"]
+    assert float(jnp.abs(shp_g).sum()) > 0
+
+    dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 50, 5)
+
+
+def test_ga_loc_targets_center_vs_background():
+    head = build_head(dict(
+        type="GuidedAnchorHead", num_classes=1, in_channels=8,
+        feat_channels=8,
+        approx_anchor_generator=dict(octave_base_scale=4, scales_per_octave=3,
+                                     ratios=[1.0], strides=[4, 8]),
+        square_anchor_generator=dict(ratios=[1.0], scales=[4],
+                                     strides=[4, 8]),
+        train_cfg=dict(center_ratio=0.2, ignore_ratio=0.5)))
+    # one 16x16 gt at (8..24): scale 16 = octave_base*stride0 -> level 0
+    batch = dict(
+        gt_bboxes=jnp.asarray([[[8., 8., 24., 24.]]]),
+        gt_valid=jnp.asarray([[True]]))
+    labels, weights, avg = head.ga_loc_targets(batch, [(16, 16), (8, 8)])
+    labels = np.asarray(labels).reshape(-1)
+    weights = np.asarray(weights).reshape(-1)
+    lvl0 = labels[:256].reshape(16, 16)
+    w0 = weights[:256].reshape(16, 16)
+    # center cell (4, 4) on the stride-4 map is a positive (label 0)
+    assert lvl0[4, 4] == 0 and w0[4, 4] == 1.0
+    # far corner is background: label 1, weight 0.1
+    assert lvl0[15, 15] == 1 and w0[15, 15] == pytest.approx(0.1)
+    # ring between center and ignore region has weight 0
+    assert (w0 == 0.0).any()
+    # level 1 gets the neighbour-ignore paint around the projected gt
+    w1 = weights[256:].reshape(8, 8)
+    assert (w1[2, 2] == 0.0) and w1[7, 7] == pytest.approx(0.1)
+    assert avg == pytest.approx((256 + 64) / 200.0)
+
+
+def test_feature_adaption_shapes():
+    from pointtinybenchmark_tpu.models import FeatureAdaption
+    mod = FeatureAdaption(out_channels=16, deform_groups=4)
+    x = jnp.ones((2, 8, 8, 16))
+    shp = jnp.zeros((2, 8, 8, 2))
+    params = mod.init(jax.random.PRNGKey(0), x, shp)
+    out = mod.apply(params, x, shp)
+    assert out.shape == (2, 8, 8, 16)
+    assert bool(jnp.isfinite(out).all())
