@@ -133,3 +133,72 @@ def test_feature_adaption_shapes():
     out = mod.apply(params, x, shp)
     assert out.shape == (2, 8, 8, 16)
     assert bool(jnp.isfinite(out).all())
+
+
+def _free_anchor():
+    return build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="FreeAnchorRetinaHead", num_classes=2, in_channels=16,
+                 feat_channels=16, stacked_convs=1, pre_anchor_topk=8,
+                 bbox_thr=0.6, gamma=2.0, alpha=0.5,
+                 anchor_generator=dict(type="AnchorGenerator",
+                                       octave_base_scale=2,
+                                       scales_per_octave=3,
+                                       ratios=[0.5, 1.0, 2.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[0.1, 0.1, 0.2, 0.2]),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True),
+                 loss_bbox=dict(type="SmoothL1Loss", beta=0.11,
+                                loss_weight=0.75))),
+        dict(allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=50))
+
+
+def test_free_anchor_forward_backward_decode():
+    model = _free_anchor()
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert np.isfinite(float(losses["loss_positive_bag"]))
+    assert np.isfinite(float(losses["loss_negative_bag"]))
+    # 5 valid gts in the batch
+    assert float(losses["num_pos"]) == 5.0
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"])
+        return sum(x for k, x in l.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables)
+    reg_g = g["params"]["bbox_head_m"]["retina_reg"]["kernel"]
+    cls_g = g["params"]["bbox_head_m"]["retina_cls"]["kernel"]
+    assert float(jnp.abs(reg_g).sum()) > 0 and float(jnp.abs(cls_g).sum()) > 0
+
+    dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 50, 5)
+
+
+def test_free_anchor_bag_loss_prefers_matching_anchor():
+    """Positive bag loss decreases when the bag contains a confident,
+    well-localized anchor (mean-max behavior)."""
+    from pointtinybenchmark_tpu.models import FreeAnchorRetinaHead
+    # mean-max of all-low probs vs one-high bag
+    import jax.numpy as jnp
+    def bag_loss(m_prob, alpha=0.5):
+        w = 1.0 / jnp.clip(1.0 - m_prob, 1e-12, None)
+        w = w / w.sum()
+        return -alpha * jnp.log(jnp.clip((w * m_prob).sum(), 1e-12, 1.0))
+    low = bag_loss(jnp.full((8,), 0.1))
+    high = bag_loss(jnp.asarray([0.9] + [0.1] * 7))
+    assert float(high) < float(low)
