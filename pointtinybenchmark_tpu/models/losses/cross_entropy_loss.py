@@ -42,9 +42,15 @@ class CrossEntropyLoss:
                  reduction_override: Optional[str] = None) -> jnp.ndarray:
         reduction = reduction_override or self.reduction
         if self.use_sigmoid:
-            # label in [0, C]: C = background -> all-zero one-hot
-            num_classes = pred.shape[-1]
-            onehot = jax.nn.one_hot(label, num_classes, dtype=pred.dtype)
+            if label.shape == pred.shape:
+                # same-shape (possibly soft / multi-hot) binary targets,
+                # e.g. SABL bucket-estimation labels (mmdet
+                # binary_cross_entropy skips one-hot expansion then)
+                onehot = label.astype(pred.dtype)
+            else:
+                # label in [0, C]: C = background -> all-zero one-hot
+                num_classes = pred.shape[-1]
+                onehot = jax.nn.one_hot(label, num_classes, dtype=pred.dtype)
             loss = binary_cross_entropy_with_logits(pred, onehot)
             if self.class_weight is not None:
                 loss = loss * jnp.asarray(self.class_weight, pred.dtype)

@@ -202,3 +202,80 @@ def test_free_anchor_bag_loss_prefers_matching_anchor():
     low = bag_loss(jnp.full((8,), 0.1))
     high = bag_loss(jnp.asarray([0.9] + [0.1] * 7))
     assert float(high) < float(low)
+
+
+def _sabl_retina():
+    return build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="SABLRetinaHead", num_classes=2, in_channels=16,
+                 feat_channels=16, stacked_convs=1,
+                 approx_anchor_generator=dict(
+                     type="AnchorGenerator", octave_base_scale=4,
+                     scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                     strides=[4, 8, 16, 32, 64]),
+                 square_anchor_generator=dict(
+                     type="AnchorGenerator", ratios=[1.0], scales=[4],
+                     strides=[4, 8, 16, 32, 64]),
+                 bbox_coder_cfg=dict(num_buckets=14, scale_factor=3.0),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                               gamma=2.0, alpha=0.25, loss_weight=1.0),
+                 loss_bbox_cls=dict(type="CrossEntropyLoss",
+                                    use_sigmoid=True, loss_weight=1.5),
+                 loss_bbox_reg=dict(type="SmoothL1Loss", beta=1.0 / 9.0,
+                                    loss_weight=1.5))),
+        dict(assigner=dict(type="ApproxMaxIoUAssigner", pos_iou_thr=0.5,
+                           neg_iou_thr=0.4, min_pos_iou=0.0),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=50))
+
+
+def test_sabl_retina_forward_backward_decode():
+    model = _sabl_retina()
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    for k in ("loss_cls", "loss_bbox_cls", "loss_bbox_reg"):
+        assert np.isfinite(float(losses[k])), (k, float(losses[k]))
+    assert float(losses["num_pos"]) > 0
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"])
+        return sum(x for k, x in l.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables)
+    for name in ("retina_bbox_cls", "retina_bbox_reg", "retina_cls"):
+        gk = g["params"]["bbox_head_m"][name]["kernel"]
+        assert float(jnp.abs(gk).sum()) > 0, name
+
+    dets, _ = model.apply(variables, img, jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test)
+    assert dets.bboxes.shape == (2, 50, 5)
+
+
+def test_bucketing_coder_roundtrip():
+    from pointtinybenchmark_tpu.core.bbox import bbox2bucket, bucket2bbox
+    rng = np.random.RandomState(0)
+    p = rng.rand(16, 4).astype(np.float32) * 40
+    p[:, 2:] = p[:, :2] + 20 + rng.rand(16, 2).astype(np.float32) * 40
+    # gts near the proposals (within the 3x rescaled region)
+    g = p + rng.uniform(-4, 4, (16, 4)).astype(np.float32)
+    g[:, 2:] = np.maximum(g[:, 2:], g[:, :2] + 2)
+    offs, ow, bl, cw = bbox2bucket(jnp.asarray(p), jnp.asarray(g), 14, 3.0)
+    # exact-prediction decode: logits peaked at label buckets, offsets exact
+    cls = np.asarray(bl) * 30.0
+    boxes, conf = bucket2bbox(jnp.asarray(p), jnp.asarray(cls),
+                              jnp.asarray(offs), 14, 3.0)
+    np.testing.assert_allclose(np.asarray(boxes), g, atol=1e-3)
+    assert (np.asarray(conf) > 0.99).all()
+    # top-1 bucket weight is always 1
+    assert (np.asarray(ow).reshape(16, 4, 7).max(-1) == 1.0).all()
