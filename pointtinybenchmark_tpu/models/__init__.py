@@ -31,6 +31,8 @@ from .dense_heads.yolof_head import DilatedEncoder, YOLOFHead
 from .dense_heads.gfl_head import GFLHead
 from .dense_heads.guided_anchor_head import (FeatureAdaption, GARetinaHead,
                                              GARPNHead, GuidedAnchorHead)
+from .dense_heads.ld_head import (KnowledgeDistillationSingleStageDetector,
+                                  LDHead)
 from .dense_heads.p2p_head import P2PHead
 from .dense_heads.free_anchor_retina_head import FreeAnchorRetinaHead
 from .dense_heads.retina_head import RetinaHead
@@ -46,7 +48,7 @@ __all__ = [
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
     "FPN_CARAFE", "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "GuidedAnchorHead", "GARetinaHead", "GARPNHead",
-    "FeatureAdaption", "FreeAnchorRetinaHead", "SABLRetinaHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "FeatureAdaption", "FreeAnchorRetinaHead", "SABLRetinaHead", "LDHead", "KnowledgeDistillationSingleStageDetector", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]

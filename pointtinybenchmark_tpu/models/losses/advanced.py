@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ...utils.registry import LOSSES
 
-__all__ = ["VarifocalLoss", "GHMC", "GHMR"]
+__all__ = ["VarifocalLoss", "GHMC", "GHMR", "KnowledgeDistillationKLDivLoss"]
 
 
 def _bce_with_logits(pred, target):
@@ -166,4 +166,33 @@ class SeesawLoss:
         loss = loss.sum()
         if avg_factor is not None:
             loss = loss / jnp.maximum(avg_factor, 1.0)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class KnowledgeDistillationKLDivLoss:
+    """Temperature-scaled KL divergence for logit distillation (mmdet
+    models/losses/kd_loss.py). Used by the LD head to distill the teacher's
+    per-side DFL corner distributions (arXiv 2102.12252)."""
+
+    def __init__(self, reduction: str = "mean", loss_weight: float = 1.0,
+                 T: float = 10.0):
+        assert T >= 1
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+        self.T = T
+
+    def __call__(self, pred, soft_label, weight=None, avg_factor=None,
+                 reduction_override=None):
+        from .utils import weight_reduce_loss
+        reduction = reduction_override or self.reduction
+        t = self.T
+        target = jax.lax.stop_gradient(jax.nn.softmax(soft_label / t, -1))
+        logp = jax.nn.log_softmax(pred / t, -1)
+        # F.kl_div(logp, target, 'none') = target * (log target - logp);
+        # 0 log 0 := 0
+        kl = jnp.where(target > 0, target * (jnp.log(jnp.clip(target, 1e-12))
+                                             - logp), 0.0)
+        loss = kl.mean(-1) * (t * t)
+        loss = weight_reduce_loss(loss, weight, reduction, avg_factor)
         return self.loss_weight * loss

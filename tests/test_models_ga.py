@@ -279,3 +279,68 @@ def test_bucketing_coder_roundtrip():
     assert (np.asarray(conf) > 0.99).all()
     # top-1 bucket weight is always 1
     assert (np.asarray(ow).reshape(16, 4, 7).max(-1) == 1.0).all()
+
+
+def test_ld_distillation():
+    """LD: student GFL head distills teacher DFL distributions; loss_ld ~0
+    when teacher == student outputs, > 0 otherwise."""
+    head_cfg = dict(
+        type="LDHead", num_classes=2, in_channels=16, feat_channels=16,
+        stacked_convs=1, reg_max=8, norm_cfg=dict(type="GN", num_groups=4),
+        anchor_generator=dict(type="AnchorGenerator", ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=[4, 8, 16, 32, 64]),
+        loss_cls=dict(type="QualityFocalLoss", use_sigmoid=True, beta=2.0),
+        loss_dfl=dict(type="DistributionFocalLoss", loss_weight=0.25),
+        loss_ld=dict(type="KnowledgeDistillationKLDivLoss",
+                     loss_weight=0.25, T=10))
+    teacher_cfg = dict(
+        type="SingleStageDetector",
+        backbone=dict(type="ResNet", depth=18, base_channels=8),
+        neck=dict(type="FPN", in_channels=[8, 16, 32, 64], out_channels=16,
+                  start_level=0, add_extra_convs="on_input", num_outs=5),
+        bbox_head=dict(type="GFLHead", num_classes=2, in_channels=16,
+                       feat_channels=16, stacked_convs=1, reg_max=8,
+                       norm_cfg=dict(type="GN", num_groups=4),
+                       anchor_generator=head_cfg["anchor_generator"]))
+    model = build_detector(
+        dict(type="KnowledgeDistillationSingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=head_cfg,
+             teacher=teacher_cfg),
+        dict(assigner=dict(type="ATSSAssigner", topk=9), allowed_border=-1),
+        dict(nms_pre=100, score_thr=0.05,
+             nms=dict(iou_threshold=0.6), max_per_img=20))
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    assert "loss_ld" in losses and np.isfinite(float(losses["loss_ld"]))
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"])
+        return l["loss_ld"]
+
+    g = jax.grad(total)(variables)
+    # gradient flows into the student reg conv but NOT into the teacher
+    stu = g["params"]["bbox_head_m"]["gfl_reg"]["kernel"]
+    tea = g["params"]["teacher_m"]["bbox_head_m"]["gfl_reg"]["kernel"]
+    assert float(jnp.abs(stu).sum()) > 0
+    assert float(jnp.abs(tea).sum()) == 0.0
+
+
+def test_kd_kl_div_loss_zero_when_equal():
+    from pointtinybenchmark_tpu.models.losses.advanced import (
+        KnowledgeDistillationKLDivLoss)
+    loss = KnowledgeDistillationKLDivLoss(T=10)
+    logits = jnp.asarray(np.random.RandomState(0).randn(6, 9), jnp.float32)
+    assert float(loss(logits, logits)) == pytest.approx(0.0, abs=1e-6)
+    other = logits + jnp.asarray(np.random.RandomState(1).randn(6, 9),
+                                 jnp.float32)
+    assert float(loss(logits, other)) > 0
