@@ -35,6 +35,7 @@ from .dense_heads.ld_head import (KnowledgeDistillationSingleStageDetector,
                                   LDHead)
 from .dense_heads.p2p_head import P2PHead
 from .dense_heads.free_anchor_retina_head import FreeAnchorRetinaHead
+from .dense_heads.pisa_retina_head import PISARetinaHead
 from .dense_heads.retina_head import RetinaHead
 from .dense_heads.sabl_retina_head import SABLRetinaHead
 from .dense_heads.yolo_head import YOLOV3Head, YOLOV3Neck
@@ -48,7 +49,7 @@ __all__ = [
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
     "FPN_CARAFE", "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "GuidedAnchorHead", "GARetinaHead", "GARPNHead",
-    "FeatureAdaption", "FreeAnchorRetinaHead", "SABLRetinaHead", "LDHead", "KnowledgeDistillationSingleStageDetector", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
+    "FeatureAdaption", "FreeAnchorRetinaHead", "SABLRetinaHead", "LDHead", "KnowledgeDistillationSingleStageDetector", "PISARetinaHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
 ]
@@ -66,6 +67,7 @@ from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402
 from .roi_heads.cascade_roi_head import CascadeRoIHead  # noqa: E402
 from .roi_heads.mask_head import FCNMaskHead  # noqa: E402
 from .roi_heads.standard_roi_head import StandardRoIHead  # noqa: E402
+from .roi_heads.pisa_roi_head import PISARoIHead  # noqa: E402
 
 __all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
             "TwoStageDetector", "FasterRCNN", "CascadeRCNN", "CascadeRoIHead",

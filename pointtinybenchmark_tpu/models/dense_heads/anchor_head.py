@@ -123,9 +123,12 @@ class AnchorHead(nn.Module):
         return MaxIoUAssigner(**cfg)
 
     def get_targets(self, anchors: np.ndarray, anchor_valid: np.ndarray,
-                    batch: Dict[str, jnp.ndarray]):
+                    batch: Dict[str, jnp.ndarray],
+                    return_gt_ids: bool = False):
         """Batched target assignment. Returns labels (B, N),
-        label_weights (B, N), bbox_targets (B, N, 4), bbox_weights (B, N)."""
+        label_weights (B, N), bbox_targets (B, N, 4), bbox_weights (B, N)
+        [+ assigned gt indices (B, N), 0-based, only meaningful at
+        positives, when return_gt_ids]."""
         assigner = self.build_assigner()
         means, stds = self._coder_params()
         pos_weight = float((self.train_cfg or {}).get("pos_weight", -1))
@@ -146,6 +149,9 @@ class AnchorHead(nn.Module):
             lw_pos = 1.0 if pos_weight <= 0 else pos_weight
             label_weights = (pos.astype(jnp.float32) * lw_pos
                              + neg.astype(jnp.float32))
+            if return_gt_ids:
+                return (out_labels, label_weights, bbox_targets,
+                        pos.astype(jnp.float32), safe.astype(jnp.int32))
             return (out_labels, label_weights, bbox_targets,
                     pos.astype(jnp.float32))
 

@@ -151,6 +151,37 @@ class StandardRoIHead(nn.Module):
         roi_feats = self._extract(feats, rois)
         cls_score, bbox_pred = self.bbox_head_m(roi_feats)
 
+        out = self._bbox_loss(cls_score, bbox_pred, roi_boxes, roi_labels,
+                              roi_deltas, pos_w, samp_w, gt_idx)
+
+        if self.mask_head_m is not None and "gt_masks" in batch:
+            from .mask_head import mask_target
+            labels_flat = roi_labels.reshape(-1)
+            pos_flat = pos_w.reshape(-1)
+            mask_size_out = 28
+            mask_feats = self._extract(feats, rois)  # reuse bbox extractor cfg
+            mask_logits = self.mask_head_m(mask_feats)  # (B*S, 2s, 2s, nc)
+            msz = mask_logits.shape[1]
+            targets = mask_target(batch["gt_masks"].astype(jnp.float32),
+                                  rois, gt_idx.reshape(-1), msz)
+            safe_lbl = jnp.clip(labels_flat, 0, nc - 1)
+            logits_cls = jnp.take_along_axis(
+                mask_logits, safe_lbl[:, None, None, None], -1)[..., 0]
+            bce = (jnp.maximum(logits_cls, 0) - logits_cls * targets
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits_cls))))
+            num_pos_m = jnp.maximum(pos_flat.sum(), 1.0)
+            out["loss_mask"] = ((bce.mean(axis=(1, 2)) * pos_flat).sum()
+                                / num_pos_m)
+            del mask_size_out
+        return out
+
+    # ----------------------------------------------------------- bbox loss
+    def _bbox_loss(self, cls_score, bbox_pred, roi_boxes, roi_labels,
+                   roi_deltas, pos_w, samp_w, gt_idx
+                   ) -> Dict[str, jnp.ndarray]:
+        """Compute cls/reg losses from sampled-RoI targets. Split out so
+        variants (PISA) can reweight (mmdet pisa_roi_head.py pattern)."""
+        nc = self.num_classes
         loss_cls_fn = LOSSES.build(dict(
             (self.bbox_head or {}).get("loss_cls",
                                        dict(type="CrossEntropyLoss"))))
@@ -176,27 +207,8 @@ class StandardRoIHead(nn.Module):
                                  avg_factor=num_sampled)
         acc = (jnp.argmax(cls_score, -1) == labels_flat).astype(jnp.float32)
         acc = (acc * samp_flat).sum() / num_sampled * 100
-        out = {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc,
-               "num_pos": pos_flat.sum()}
-
-        if self.mask_head_m is not None and "gt_masks" in batch:
-            from .mask_head import mask_target
-            mask_size_out = 28
-            mask_feats = self._extract(feats, rois)  # reuse bbox extractor cfg
-            mask_logits = self.mask_head_m(mask_feats)  # (B*S, 2s, 2s, nc)
-            msz = mask_logits.shape[1]
-            targets = mask_target(batch["gt_masks"].astype(jnp.float32),
-                                  rois, gt_idx.reshape(-1), msz)
-            safe_lbl = jnp.clip(labels_flat, 0, nc - 1)
-            logits_cls = jnp.take_along_axis(
-                mask_logits, safe_lbl[:, None, None, None], -1)[..., 0]
-            bce = (jnp.maximum(logits_cls, 0) - logits_cls * targets
-                   + jnp.log1p(jnp.exp(-jnp.abs(logits_cls))))
-            num_pos_m = jnp.maximum(pos_flat.sum(), 1.0)
-            out["loss_mask"] = ((bce.mean(axis=(1, 2)) * pos_flat).sum()
-                                / num_pos_m)
-            del mask_size_out
-        return out
+        return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc,
+                "num_pos": pos_flat.sum()}
 
     # ------------------------------------------------------------ test
     def simple_test(self, feats, proposals: jnp.ndarray,

@@ -67,35 +67,38 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
 
     # Bilinear sampling with mmcv border semantics: a sample is zero when its
     # coord is outside [-1, dim]; indices are clamped into range otherwise.
-    def sample_one(bi, xs, ys):
-        img = feat[bi]  # (H, W, C) — XLA dynamic-slice over batch
-        xg = jnp.broadcast_to(xs[None, :], (out * sr, out * sr))
-        yg = jnp.broadcast_to(ys[:, None], (out * sr, out * sr))
-        inb = (xg >= -1.0) & (xg <= w) & (yg >= -1.0) & (yg <= h)
-        xc = jnp.clip(xg, 0.0, w - 1.0)
-        yc = jnp.clip(yg, 0.0, h - 1.0)
-        x0 = jnp.floor(xc)
-        y0 = jnp.floor(yc)
-        x1i = jnp.minimum(x0 + 1, w - 1).astype(jnp.int32)
-        y1i = jnp.minimum(y0 + 1, h - 1).astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        wx1 = xc - x0
-        wy1 = yc - y0
-        wx0 = 1.0 - wx1
-        wy0 = 1.0 - wy1
-        flat = img.reshape(h * w, c)
+    # Memory note: indexing feat[batch_idx] under vmap materializes a per-ROI
+    # copy of the full feature map ((R, H, W, C) — tens of GB at production
+    # shapes), so instead gather sample points directly from the flattened
+    # (B*H*W, C) map with batch-offset global indices: peak footprint is the
+    # gathered points (R, S, S, C) only.
+    s = out * sr
+    xg = jnp.broadcast_to(sx[:, None, :], (r, s, s))     # x varies along j
+    yg = jnp.broadcast_to(sy[:, :, None], (r, s, s))     # y varies along i
+    inb = (xg >= -1.0) & (xg <= w) & (yg >= -1.0) & (yg <= h)
+    xc = jnp.clip(xg, 0.0, w - 1.0)
+    yc = jnp.clip(yg, 0.0, h - 1.0)
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    x1i = jnp.minimum(x0 + 1, w - 1).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, h - 1).astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wx1 = (xc - x0).astype(feat.dtype)
+    wy1 = (yc - y0).astype(feat.dtype)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    flat = feat.reshape(b * h * w, c)
+    base = (batch_idx * (h * w))[:, None, None]          # (R, 1, 1)
 
-        def g(yi, xi):
-            return flat[(yi * w + xi).reshape(-1)].reshape(out * sr, out * sr, c)
+    def g(yi, xi):
+        idx = (base + yi * w + xi).reshape(-1)
+        return flat[idx].reshape(r, s, s, c)
 
-        val = (g(y0i, x0i) * (wy0 * wx0)[..., None]
-               + g(y0i, x1i) * (wy0 * wx1)[..., None]
-               + g(y1i, x0i) * (wy1 * wx0)[..., None]
-               + g(y1i, x1i) * (wy1 * wx1)[..., None])
-        val = jnp.where(inb[..., None], val, 0.0)
-        # Average sr x sr samples per bin.
-        val = val.reshape(out, sr, out, sr, c)
-        return val.mean(axis=(1, 3))  # (out, out, C)
-
-    return jax.vmap(sample_one)(batch_idx, sx, sy)
+    val = (g(y0i, x0i) * (wy0 * wx0)[..., None]
+           + g(y0i, x1i) * (wy0 * wx1)[..., None]
+           + g(y1i, x0i) * (wy1 * wx0)[..., None]
+           + g(y1i, x1i) * (wy1 * wx1)[..., None])
+    val = jnp.where(inb[..., None], val, 0.0)
+    # Average sr x sr samples per bin.
+    return val.reshape(r, out, sr, out, sr, c).mean(axis=(2, 4))

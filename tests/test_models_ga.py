@@ -344,3 +344,131 @@ def test_kd_kl_div_loss_zero_when_equal():
     other = logits + jnp.asarray(np.random.RandomState(1).randn(6, 9),
                                  jnp.float32)
     assert float(loss(logits, other)) > 0
+
+
+def test_segmented_rank():
+    from pointtinybenchmark_tpu.models.losses.pisa_loss import segmented_rank
+    gid = jnp.asarray([0, 0, 0, 1, 1, 2])
+    score = jnp.asarray([0.5, 0.9, 0.1, 0.3, 0.7, 0.2])
+    valid = jnp.ones((6,), bool)
+    r = np.asarray(segmented_rank(gid, score, valid))
+    assert list(r) == [1, 0, 2, 1, 0, 0]
+    # invalid elements don't disturb group ranks
+    valid2 = jnp.asarray([True, False, True, True, True, True])
+    r2 = np.asarray(segmented_rank(gid, score, valid2))
+    assert r2[0] == 0 and r2[2] == 1
+
+
+def test_pisa_retina_forward_backward():
+    model = build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="PISARetinaHead", num_classes=2, in_channels=16,
+                 feat_channels=16, stacked_convs=1,
+                 anchor_generator=dict(type="AnchorGenerator",
+                                       octave_base_scale=2,
+                                       scales_per_octave=3,
+                                       ratios=[0.5, 1.0, 2.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True),
+                 loss_bbox=dict(type="SmoothL1Loss", beta=0.11))),
+        dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                           neg_iou_thr=0.4, min_pos_iou=0.0),
+             isr=dict(k=2.0, bias=0.0), carl=dict(k=1.0, bias=0.2),
+             allowed_border=-1, pos_weight=-1),
+        dict(nms_pre=200, score_thr=0.05,
+             nms=dict(iou_threshold=0.5), max_per_img=50))
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"])
+    for k in ("loss_cls", "loss_bbox", "loss_carl"):
+        assert np.isfinite(float(losses[k])), (k, float(losses[k]))
+    assert float(losses["num_pos"]) > 0
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"])
+        return sum(x for k, x in l.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables)
+    gn = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.abs(x).sum(), g["params"], 0.0))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_pisa_faster_rcnn_forward_backward():
+    model = build_detector(
+        dict(type="FasterRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0, num_outs=5),
+             rpn_head=dict(
+                 type="RPNHead", num_classes=1, in_channels=16,
+                 feat_channels=16,
+                 anchor_generator=dict(type="AnchorGenerator", scales=[2],
+                                       ratios=[0.5, 1.0, 2.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True),
+                 loss_bbox=dict(type="L1Loss")),
+             roi_head=dict(
+                 type="PISARoIHead",
+                 bbox_roi_extractor=dict(
+                     roi_layer=dict(type="RoIAlign", output_size=7,
+                                    sampling_ratio=0),
+                     out_channels=16, featmap_strides=[4, 8, 16, 32]),
+                 bbox_head=dict(
+                     type="Shared2FCBBoxHead", num_classes=2, in_channels=16,
+                     fc_out_channels=64, roi_feat_size=7,
+                     bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                     target_stds=[0.1, 0.1, 0.2, 0.2]),
+                     loss_cls=dict(type="CrossEntropyLoss"),
+                     loss_bbox=dict(type="SmoothL1Loss", beta=1.0)))),
+        dict(rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                    neg_iou_thr=0.3, min_pos_iou=0.3),
+                      sampler=dict(type="RandomSampler", num=64,
+                                   pos_fraction=0.5),
+                      allowed_border=-1, pos_weight=-1),
+             rpn_proposal=dict(nms_pre=100, max_per_img=50,
+                               nms=dict(iou_threshold=0.7)),
+             rcnn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0.5,
+                                     match_low_quality=False),
+                       sampler=dict(type="RandomSampler", num=32,
+                                    pos_fraction=0.25,
+                                    add_gt_as_proposals=True),
+                       isr=dict(k=2.0, bias=0.0),
+                       carl=dict(k=1.0, bias=0.2), pos_weight=-1)),
+        dict(rpn=dict(nms_pre=100, max_per_img=50,
+                      nms=dict(iou_threshold=0.7)),
+             rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                       max_per_img=20)))
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    rngs = {"sampler": jax.random.PRNGKey(3)}
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"], rngs=rngs)
+    for k in losses:
+        if k.startswith("loss"):
+            assert np.isfinite(float(losses[k])), (k, float(losses[k]))
+    assert "loss_carl" in losses
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"], rngs=rngs)
+        return sum(x for k, x in l.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables)
+    gn = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.abs(x).sum(), g["params"], 0.0))
+    assert np.isfinite(gn) and gn > 0
