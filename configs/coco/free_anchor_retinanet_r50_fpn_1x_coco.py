@@ -1,0 +1,28 @@
+# FreeAnchor. Parity: reference
+# configs/free_anchor/retinanet_free_anchor_r50_fpn_1x_coco.py
+_base_ = ["../_base_/datasets/coco_detection.py",
+          "../_base_/schedules/schedule_1x.py",
+          "../_base_/default_runtime.py"]
+model = dict(
+    type="SingleStageDetector",
+    backbone=dict(type="ResNet", depth=50, num_stages=4,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True),
+    neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=1, add_extra_convs="on_input",
+              num_outs=5),
+    bbox_head=dict(
+        type="FreeAnchorRetinaHead", num_classes=80, in_channels=256,
+        stacked_convs=4, feat_channels=256,
+        pre_anchor_topk=50, bbox_thr=0.6, gamma=2.0, alpha=0.5,
+        anchor_generator=dict(type="AnchorGenerator", octave_base_scale=4,
+                              scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                              strides=[8, 16, 32, 64, 128]),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True),
+        loss_bbox=dict(type="SmoothL1Loss", beta=0.11, loss_weight=0.75)))
+train_cfg = dict(allowed_border=-1, pos_weight=-1)
+test_cfg = dict(nms_pre=1000, score_thr=0.05,
+                nms=dict(type="nms", iou_threshold=0.5), max_per_img=100)
+optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0001,
+                 grad_clip=dict(max_norm=35, norm_type=2))

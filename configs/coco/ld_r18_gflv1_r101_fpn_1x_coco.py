@@ -1,0 +1,37 @@
+# Localization Distillation: GFL R18 student <- R101 teacher. Parity:
+# reference configs/ld/ld_r18_gflv1_r101_fpn_coco_1x.py
+_base_ = ["../_base_/datasets/coco_detection.py",
+          "../_base_/schedules/schedule_1x.py",
+          "../_base_/default_runtime.py"]
+_anchor = dict(type="AnchorGenerator", ratios=[1.0], octave_base_scale=8,
+               scales_per_octave=1, strides=[8, 16, 32, 64, 128])
+teacher = dict(
+    type="SingleStageDetector",
+    backbone=dict(type="ResNet", depth=101, num_stages=4,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True),
+    neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=1, add_extra_convs="on_output",
+              num_outs=5),
+    bbox_head=dict(type="GFLHead", num_classes=80, in_channels=256,
+                   anchor_generator=_anchor))
+model = dict(
+    type="KnowledgeDistillationSingleStageDetector",
+    teacher=teacher,
+    backbone=dict(type="ResNet", depth=18, num_stages=4,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True),
+    neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+              out_channels=256, start_level=1, add_extra_convs="on_output",
+              num_outs=5),
+    bbox_head=dict(
+        type="LDHead", num_classes=80, in_channels=256,
+        anchor_generator=_anchor,
+        loss_ld=dict(type="KnowledgeDistillationKLDivLoss",
+                     loss_weight=0.25, T=10),
+        loss_cls=dict(type="QualityFocalLoss", use_sigmoid=True, beta=2.0),
+        loss_dfl=dict(type="DistributionFocalLoss", loss_weight=0.25),
+        loss_bbox=dict(type="GIoULoss", loss_weight=2.0)))
+train_cfg = dict(assigner=dict(type="ATSSAssigner", topk=9),
+                 allowed_border=-1, pos_weight=-1)
+test_cfg = dict(nms_pre=1000, score_thr=0.05,
+                nms=dict(type="nms", iou_threshold=0.6), max_per_img=100)
+optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0001)
