@@ -77,11 +77,7 @@ class StandardRoIHead(nn.Module):
                       prop_valid: jnp.ndarray, batch: Dict[str, Any],
                       rng: jax.Array) -> Dict[str, jnp.ndarray]:
         cfg = dict(self.train_cfg or {})
-        assigner_cfg = dict(cfg.get("assigner", dict(
-            type="MaxIoUAssigner", pos_iou_thr=0.5, neg_iou_thr=0.5,
-            min_pos_iou=0.5, match_low_quality=False, ignore_iof_thr=-1)))
-        assigner_cfg.pop("type", None)
-        assigner = MaxIoUAssigner(**assigner_cfg)
+        assigner = self._build_assigner(cfg)
         sampler_cfg = dict(cfg.get("sampler", dict(
             type="RandomSampler", num=512, pos_fraction=0.25,
             neg_pos_ub=-1, add_gt_as_proposals=True)))
@@ -137,12 +133,14 @@ class StandardRoIHead(nn.Module):
             sel_labels = jnp.where(sel_pos, gtl[safe], nc)
             return (sel_boxes, sel_labels, deltas,
                     sel_pos.astype(jnp.float32),
-                    sel_sampled.astype(jnp.float32), safe)
+                    sel_sampled.astype(jnp.float32), safe, max_ov)
 
         keys = jax.random.split(rng, b)
-        (roi_boxes, roi_labels, roi_deltas, pos_w, samp_w, gt_idx) = jax.vmap(
+        (roi_boxes, roi_labels, roi_deltas, pos_w, samp_w, gt_idx,
+         max_ovs) = jax.vmap(
             assign_sample)(proposals, prop_valid, gt_bboxes, gt_labels,
                            gt_valid, keys)
+        self._record_stats(max_ovs, roi_deltas, pos_w)
 
         s = roi_boxes.shape[1]
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), s)[:, None]
@@ -155,25 +153,48 @@ class StandardRoIHead(nn.Module):
                               roi_deltas, pos_w, samp_w, gt_idx)
 
         if self.mask_head_m is not None and "gt_masks" in batch:
-            from .mask_head import mask_target
-            labels_flat = roi_labels.reshape(-1)
-            pos_flat = pos_w.reshape(-1)
-            mask_size_out = 28
-            mask_feats = self._extract(feats, rois)  # reuse bbox extractor cfg
-            mask_logits = self.mask_head_m(mask_feats)  # (B*S, 2s, 2s, nc)
-            msz = mask_logits.shape[1]
-            targets = mask_target(batch["gt_masks"].astype(jnp.float32),
-                                  rois, gt_idx.reshape(-1), msz)
-            safe_lbl = jnp.clip(labels_flat, 0, nc - 1)
-            logits_cls = jnp.take_along_axis(
-                mask_logits, safe_lbl[:, None, None, None], -1)[..., 0]
-            bce = (jnp.maximum(logits_cls, 0) - logits_cls * targets
-                   + jnp.log1p(jnp.exp(-jnp.abs(logits_cls))))
-            num_pos_m = jnp.maximum(pos_flat.sum(), 1.0)
-            out["loss_mask"] = ((bce.mean(axis=(1, 2)) * pos_flat).sum()
-                                / num_pos_m)
-            del mask_size_out
+            out.update(self._mask_loss(feats, rois, roi_labels, pos_w,
+                                       gt_idx, batch))
         return out
+
+    def _mask_loss(self, feats, rois, roi_labels, pos_w, gt_idx,
+                   batch) -> Dict[str, jnp.ndarray]:
+        from .mask_head import mask_target
+        nc = self.num_classes
+        labels_flat = roi_labels.reshape(-1)
+        pos_flat = pos_w.reshape(-1)
+        mask_feats = self._extract(feats, rois)  # reuse bbox extractor cfg
+        mask_logits = self.mask_head_m(mask_feats)  # (B*S, 2s, 2s, nc)
+        msz = mask_logits.shape[1]
+        targets = mask_target(batch["gt_masks"].astype(jnp.float32),
+                              rois, gt_idx.reshape(-1), msz)
+        safe_lbl = jnp.clip(labels_flat, 0, nc - 1)
+        logits_cls = jnp.take_along_axis(
+            mask_logits, safe_lbl[:, None, None, None], -1)[..., 0]
+        bce = (jnp.maximum(logits_cls, 0) - logits_cls * targets
+               + jnp.log1p(jnp.exp(-jnp.abs(logits_cls))))
+        num_pos_m = jnp.maximum(pos_flat.sum(), 1.0)
+        out = {"loss_mask": ((bce.mean(axis=(1, 2)) * pos_flat).sum()
+                             / num_pos_m)}
+        self._mask_extras(out, mask_feats, mask_logits, logits_cls, targets,
+                          rois, labels_flat, pos_flat, gt_idx, batch)
+        return out
+
+    def _mask_extras(self, out, mask_feats, mask_logits, logits_cls,
+                     targets, rois, labels_flat, pos_flat, gt_idx,
+                     batch) -> None:
+        """Extension hook (Mask Scoring adds the mask-IoU loss here)."""
+
+    # --------------------------------------------------------------- hooks
+    def _build_assigner(self, cfg: dict) -> MaxIoUAssigner:
+        assigner_cfg = dict(cfg.get("assigner", dict(
+            type="MaxIoUAssigner", pos_iou_thr=0.5, neg_iou_thr=0.5,
+            min_pos_iou=0.5, match_low_quality=False, ignore_iof_thr=-1)))
+        assigner_cfg.pop("type", None)
+        return MaxIoUAssigner(**assigner_cfg)
+
+    def _record_stats(self, max_ovs, roi_deltas, pos_w) -> None:
+        """Training-statistics hook (Dynamic R-CNN overrides)."""
 
     # ----------------------------------------------------------- bbox loss
     def _bbox_loss(self, cls_score, bbox_pred, roi_boxes, roi_labels,

@@ -159,3 +159,88 @@ def test_yolact():
     assert dets.bboxes.shape == (2, 20, 5)
     # protonet emits k prototype masks at 1/4 input resolution
     assert protos.shape == (2, 16, 16, 8)
+
+
+def test_mask_scoring_rcnn_forward_backward():
+    """MS R-CNN: MaskIoU head regresses predicted-vs-gt mask IoU."""
+    model = build_detector(
+        dict(type="MaskRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0, num_outs=5),
+             rpn_head=dict(type="RPNHead", num_classes=1, in_channels=16,
+                           feat_channels=16,
+                           anchor_generator=dict(type="AnchorGenerator",
+                                                 scales=[2],
+                                                 ratios=[0.5, 1.0, 2.0],
+                                                 strides=[4, 8, 16, 32, 64]),
+                           loss_cls=dict(type="CrossEntropyLoss",
+                                         use_sigmoid=True),
+                           loss_bbox=dict(type="L1Loss")),
+             roi_head=dict(
+                 type="MaskScoringRoIHead",
+                 mask_iou_head=dict(num_convs=2, conv_out_channels=16,
+                                    fc_out_channels=32),
+                 bbox_roi_extractor=dict(
+                     roi_layer=dict(type="RoIAlign", output_size=7,
+                                    sampling_ratio=0),
+                     out_channels=16, featmap_strides=[4, 8, 16, 32]),
+                 bbox_head=dict(type="Shared2FCBBoxHead", num_classes=2,
+                                in_channels=16, fc_out_channels=32,
+                                roi_feat_size=7,
+                                bbox_coder=dict(
+                                    target_stds=[0.1, 0.1, 0.2, 0.2]),
+                                loss_cls=dict(type="CrossEntropyLoss"),
+                                loss_bbox=dict(type="L1Loss")),
+                 mask_head=dict(type="FCNMaskHead", num_convs=2,
+                                in_channels=16, conv_out_channels=16,
+                                num_classes=2))),
+        dict(rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                    neg_iou_thr=0.3, min_pos_iou=0.3),
+                      sampler=dict(type="RandomSampler", num=64,
+                                   pos_fraction=0.5),
+                      allowed_border=-1, pos_weight=-1),
+             rpn_proposal=dict(nms_pre=100, max_per_img=50,
+                               nms=dict(iou_threshold=0.7)),
+             rcnn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0.5,
+                                     match_low_quality=False),
+                       sampler=dict(type="RandomSampler", num=32,
+                                    pos_fraction=0.25,
+                                    add_gt_as_proposals=True),
+                       mask_thr_binary=0.5, pos_weight=-1)),
+        dict(rpn=dict(nms_pre=100, max_per_img=50,
+                      nms=dict(iou_threshold=0.7)),
+             rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                       max_per_img=10)))
+    rng = np.random.RandomState(1)
+    bb = rng.rand(2, 5, 4).astype(np.float32) * 30
+    bb[..., 2:] = bb[..., :2] + 8 + rng.rand(2, 5, 2).astype(np.float32) * 20
+    masks = np.zeros((2, 5, 64, 64), np.uint8)
+    for b_ in range(2):
+        for g_ in range(5):
+            x1, y1, x2, y2 = bb[b_, g_].astype(int)
+            masks[b_, g_, y1:y2, x1:x2] = 1
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 5)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]],
+                                      bool),
+                 gt_masks=jnp.asarray(masks),
+                 img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    rngs = {"sampler": jax.random.PRNGKey(3)}
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"], rngs=rngs)
+    assert "loss_mask_iou" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+    def total(v):
+        l, _ = model.apply(v, img, batch, method=model.forward_train,
+                           mutable=["batch_stats"], rngs=rngs)
+        return sum(x for k, x in l.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables)
+    giou = g["params"]["roi_head_m"]["mask_iou_head_m"]["fc_mask_iou"]["kernel"]
+    assert float(jnp.abs(giou).sum()) > 0
