@@ -249,3 +249,101 @@ class ScoreHLRSampler(RandomSampler):
         kth = jax.lax.top_k(keys_es, min(neg_budget, n))[0][-1]
         neg_mask = neg_cand & (keys_es >= jnp.maximum(kth, 0.0))
         return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
+
+
+@BBOX_SAMPLERS.register_module()
+class InstanceBalancedPosSampler(RandomSampler):
+    """Positive sampling balanced across gt instances (mmdet core/bbox/
+    samplers/instance_balanced_pos_sampler.py): the positive budget is
+    split evenly over the gt instances present; leftover quota falls back
+    to uniform sampling.
+
+    TPU design: per-candidate priority = uniform noise demoted by the
+    candidate's rank *within its own instance* — taking the budget top-k
+    then round-robins instances before taking seconds, with no per-gt
+    python loop.
+    """
+
+    def sample(self, key: jax.Array, assigned_gt_inds: jnp.ndarray,
+               labels: jnp.ndarray) -> SamplingResult:
+        kp, kn, kr = jax.random.split(key, 3)
+        n = assigned_gt_inds.shape[0]
+        pos_cand = assigned_gt_inds > 0
+        num_pos_budget = int(self.num * self.pos_fraction)
+        # rank of each candidate within its instance (random order)
+        noise = jax.random.uniform(kr, (n,))
+        order = jnp.argsort(jnp.where(pos_cand, noise, 2.0)
+                            + assigned_gt_inds.astype(jnp.float32) * 4.0)
+        # order groups candidates by instance; position within group =
+        # cumulative count of same-instance predecessors
+        sorted_gt = assigned_gt_inds[order]
+        same_as_prev = jnp.concatenate(
+            [jnp.zeros((1,), bool), sorted_gt[1:] == sorted_gt[:-1]])
+        within_rank = jax.lax.associative_scan(
+            jnp.add, same_as_prev.astype(jnp.int32))
+        # reset at group starts: rank - rank_at_group_start
+        group_start_rank = jnp.where(same_as_prev, 0, within_rank)
+        run_start = jax.lax.cummax(
+            jnp.where(same_as_prev, -1, within_rank), axis=0)
+        inst_rank_sorted = within_rank - jnp.maximum(run_start, 0)
+        inst_rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            inst_rank_sorted)
+        # priority: lower instance-rank first, noise tiebreak
+        pr = jnp.where(pos_cand,
+                       -inst_rank.astype(jnp.float32)
+                       + jax.random.uniform(kp, (n,)) * 0.5, -jnp.inf)
+        prio_order = jnp.argsort(-pr)
+        rank = jnp.zeros((n,), jnp.int32).at[prio_order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        pos_mask = pos_cand & (rank < num_pos_budget)
+        num_pos = jnp.sum(pos_mask.astype(jnp.int32))
+        num_neg_budget = self.num - num_pos_budget
+        neg_cand = assigned_gt_inds == 0
+        pr_n = jnp.where(neg_cand, jax.random.uniform(kn, (n,)), -1.0)
+        order_n = jnp.argsort(-pr_n)
+        rank_n = jnp.zeros((n,), jnp.int32).at[order_n].set(
+            jnp.arange(n, dtype=jnp.int32))
+        neg_mask = neg_cand & (rank_n < num_neg_budget)
+        return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
+
+
+@BBOX_SAMPLERS.register_module()
+class CombinedSampler(RandomSampler):
+    """Different strategies for positives and negatives (mmdet core/bbox/
+    samplers/combined_sampler.py). `pos_sampler`/`neg_sampler` are sampler
+    cfgs; the pos mask comes from the first, the neg mask from the second.
+    """
+
+    def __init__(self, num: int, pos_fraction: float, neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True, pos_sampler=None,
+                 neg_sampler=None, **kwargs):
+        super().__init__(num, pos_fraction, neg_pos_ub, add_gt_as_proposals)
+        self.pos_cfg = dict(pos_sampler or {})
+        self.neg_cfg = dict(neg_sampler or {})
+
+    def _sub(self, cfg):
+        cfg = dict(cfg)
+        tp = cfg.pop("type", "RandomSampler")
+        cfg.setdefault("num", self.num)
+        cfg.setdefault("pos_fraction", self.pos_fraction)
+        from ..utils.registry import BBOX_SAMPLERS as REG
+        cls = REG.get(tp)
+        sig_kwargs = {k: v for k, v in cfg.items()
+                      if k in ("num", "pos_fraction", "neg_pos_ub",
+                               "add_gt_as_proposals", "floor_thr",
+                               "floor_fraction", "num_bins")}
+        return cls(**sig_kwargs)
+
+    def sample(self, key: jax.Array, assigned_gt_inds: jnp.ndarray,
+               labels: jnp.ndarray, **kwargs) -> SamplingResult:
+        kp, kn = jax.random.split(key)
+        pos_s = self._sub(self.pos_cfg) if self.pos_cfg else \
+            RandomSampler(self.num, self.pos_fraction)
+        neg_s = self._sub(self.neg_cfg) if self.neg_cfg else \
+            RandomSampler(self.num, self.pos_fraction)
+        pos_res = pos_s.sample(kp, assigned_gt_inds, labels)
+        neg_res = neg_s.sample(kn, assigned_gt_inds, labels, **kwargs) \
+            if isinstance(neg_s, (OHEMSampler, IoUBalancedNegSampler)) and \
+            kwargs else neg_s.sample(kn, assigned_gt_inds, labels)
+        return SamplingResult(pos_res.pos_mask, neg_res.neg_mask,
+                              assigned_gt_inds, labels)

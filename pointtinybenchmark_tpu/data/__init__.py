@@ -1,6 +1,7 @@
 from . import scale_match, tiling  # noqa: F401 — register pipeline modules
 from .coco import COCO
-from .cocofmt import CityscapesDataset, CocoFmtDataset, LVISDataset
+from .cocofmt import (CityscapesDataset, CocoFmtDataset,
+                      DeepFashionDataset, LVISDataset)
 from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
                                RepeatDataset)
 from .loader import (DataLoader, DetCollator, EpochSampler, GroupSampler,
@@ -28,5 +29,5 @@ __all__ = [
     "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
     "generate_pseudo_bbox_for_point", "ConcatDataset", "RepeatDataset",
     "ClassBalancedDataset", "VOCDataset", "LVISDataset",
-    "CityscapesDataset", "WIDERFaceDataset",
+    "CityscapesDataset", "WIDERFaceDataset", "DeepFashionDataset",
 ]

@@ -323,3 +323,16 @@ class CityscapesDataset(CocoFmtDataset):
     def __init__(self, *args, **kwargs):
         kwargs.setdefault("classes", list(self.CLASSES))
         super().__init__(*args, **kwargs)
+
+
+@DATASETS.register_module()
+class DeepFashionDataset(CocoFmtDataset):
+    """DeepFashion landmark/category subset in COCO format (reference
+    mmdet/datasets/deepfashion.py — fixed 15-class list, COCO eval path)."""
+    CLASSES = ("top", "skirt", "leggings", "dress", "outer", "pants", "bag",
+               "neckwear", "headwear", "eyeglass", "belt", "footwear",
+               "hair", "skin", "face")
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("classes", list(self.CLASSES))
+        super().__init__(*args, **kwargs)

@@ -6,7 +6,10 @@ from .backbones.regnet import RegNet
 from .backbones.res2net import Res2Net
 from .backbones.resnest import ResNeSt
 from .backbones.ssd_vgg import SSDVGG
+from .backbones.detectors_resnet import DetectoRS_ResNet, SAConv2d
 from .backbones.trident_resnet import TridentResNet
+from .necks.rfp import ASPP, RFP
+from .necks.fpg import FPG, NASFCOS_FPN
 from .necks.extra_necks import BFP, ChannelMapper, MergeCell, NASFPN
 from .backbones.mobilenet_v2 import MobileNetV2
 from .backbones.resnet import ResNet, ResNeXt
@@ -48,7 +51,7 @@ __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
     "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
-    "FPN_CARAFE", "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "GuidedAnchorHead", "GARetinaHead", "GARPNHead",
+    "FPN_CARAFE", "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "DetectoRS_ResNet", "SAConv2d", "RFP", "ASPP", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "GuidedAnchorHead", "GARetinaHead", "GARPNHead",
     "FeatureAdaption", "FreeAnchorRetinaHead", "SABLRetinaHead", "LDHead", "KnowledgeDistillationSingleStageDetector", "PISARetinaHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",
     "build_detector",
@@ -66,10 +69,36 @@ from .detectors.two_stage import (CascadeRCNN, FasterRCNN,  # noqa: E402
 from .roi_heads.bbox_head import Shared2FCBBoxHead  # noqa: E402
 from .roi_heads.cascade_roi_head import CascadeRoIHead  # noqa: E402
 from .roi_heads.mask_head import FCNMaskHead  # noqa: E402
+from .roi_heads.dynamic_roi_head import DynamicRoIHead  # noqa: E402
 from .roi_heads.standard_roi_head import StandardRoIHead  # noqa: E402
 from .roi_heads.pisa_roi_head import PISARoIHead  # noqa: E402
+from .roi_heads.mask_scoring_roi_head import MaskIoUHead, MaskScoringRoIHead  # noqa: E402
+from .roi_heads.htc_roi_head import (FusedSemanticHead, HTCMaskHead,  # noqa: E402
+                                     HybridTaskCascadeRoIHead)
+from .roi_heads.scnet_roi_head import GlobalContextHead, SCNetRoIHead  # noqa: E402
+from .roi_heads.grid_roi_head import GridHead, GridRoIHead  # noqa: E402
+from .roi_heads.point_rend_roi_head import MaskPointHead, PointRendRoIHead  # noqa: E402
+from .roi_heads.sabl_roi_head import SABLRoIHead  # noqa: E402
+from .roi_heads.bbox_head import DoubleConvFCBBoxHead, SABLHead  # noqa: E402
+from .dense_heads.centripetal_head import CentripetalHead  # noqa: E402
+from .dense_heads.pisa_retina_head import PISASSDHead  # noqa: E402
+from .dense_heads.cascade_rpn_head import CascadeRPNHead, region_assign  # noqa: E402
+from .detectors.two_stage import RPN  # noqa: E402
+from .detectors.single_stage import CentripetalNet  # noqa: E402
+from .detectors.two_stage import (DetectoRS, DoubleHeadRCNN,  # noqa: E402
+                                  DynamicRCNN, GridRCNN, HybridTaskCascade,
+                                  MaskScoringRCNN, PointRend, SCNet,
+                                  TridentFasterRCNN)
 
 __all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
             "TwoStageDetector", "FasterRCNN", "CascadeRCNN", "CascadeRoIHead",
             "MaskRCNN", "FCNMaskHead", "SSDHead",
-            "Shared2FCBBoxHead", "StandardRoIHead"]
+            "Shared2FCBBoxHead", "StandardRoIHead", "PISARoIHead", "DynamicRoIHead", "MaskIoUHead", "MaskScoringRoIHead",
+            "HTCMaskHead", "FusedSemanticHead", "HybridTaskCascadeRoIHead",
+            "GlobalContextHead", "SCNetRoIHead", "HybridTaskCascade", "SCNet",
+            "MaskScoringRCNN", "DynamicRCNN", "DetectoRS",
+            "GridHead", "GridRoIHead", "MaskPointHead", "PointRendRoIHead",
+            "SABLRoIHead", "DoubleConvFCBBoxHead", "SABLHead",
+            "GridRCNN", "PointRend", "DoubleHeadRCNN",
+            "CentripetalHead", "CentripetalNet", "FPG", "NASFCOS_FPN",
+            "TridentFasterRCNN", "CascadeRPNHead", "region_assign", "RPN", "PISASSDHead"]

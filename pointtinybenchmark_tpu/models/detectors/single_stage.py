@@ -192,5 +192,11 @@ class CornerNet(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class CentripetalNet(SingleStageDetector):
+    """mmdet models/detectors/cornernet.py config variant
+    (CentripetalHead shell)."""
+
+
+@DETECTORS.register_module()
 class FSAF(SingleStageDetector):
     """mmdet models/detectors/fsaf.py parity (FSAFHead shell)."""

@@ -71,6 +71,9 @@ class TwoStageDetector(nn.Module):
         feats = self.extract_feat(img, train=True)
         batch = dict(batch)
         batch["pad_shape"] = (img.shape[1], img.shape[2])
+        return self._forward_train_feats(feats, batch)
+
+    def _forward_train_feats(self, feats, batch: Dict[str, Any]):
 
         rpn_outs = self.rpn_head_m(feats, train=True)
         # RPN trains class-agnostic: every valid gt is class 0
@@ -128,4 +131,152 @@ class CascadeRCNN(TwoStageDetector):
 class MaskRCNN(TwoStageDetector):
     """Mask R-CNN shell (mmdet models/detectors/mask_rcnn.py) — the mask
     branch lives in StandardRoIHead (mask_head cfg)."""
+    pass
+
+
+@DETECTORS.register_module()
+class HybridTaskCascade(TwoStageDetector):
+    """HTC shell (mmdet models/detectors/htc.py) — interleaved cascade +
+    semantic branch live in HybridTaskCascadeRoIHead."""
+    pass
+
+
+@DETECTORS.register_module()
+class SCNet(TwoStageDetector):
+    """SCNet shell (mmdet models/detectors/scnet.py) — glbctx/relay live in
+    SCNetRoIHead."""
+    pass
+
+
+@DETECTORS.register_module()
+class MaskScoringRCNN(TwoStageDetector):
+    """MS R-CNN shell (mmdet models/detectors/mask_scoring_rcnn.py)."""
+    pass
+
+
+@DETECTORS.register_module()
+class DynamicRCNN(TwoStageDetector):
+    """Dynamic R-CNN shell (mmdet models/detectors/faster_rcnn.py config
+    variant; adaptive thresholds live in DynamicRoIHead)."""
+    pass
+
+
+@DETECTORS.register_module()
+class RPN(nn.Module):
+    """Standalone region-proposal network (mmdet models/detectors/rpn.py):
+    trains/evaluates the RPN alone; detections are the class-agnostic
+    proposals."""
+    backbone: dict
+    rpn_head: dict
+    neck: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+
+    def setup(self):
+        self.backbone_m = build_backbone(dict(self.backbone))
+        self.neck_m = build_neck(dict(self.neck)) if self.neck else None
+        rpn_cfg = dict(self.rpn_head)
+        rpn_cfg.setdefault("train_cfg", (self.train_cfg or {}).get(
+            "rpn", self.train_cfg))
+        rpn_cfg.setdefault("test_cfg", (self.test_cfg or {}).get(
+            "rpn", self.test_cfg))
+        self.rpn_head_m = build_head(rpn_cfg)
+
+    def extract_feat(self, img, train: bool = False):
+        x = self.backbone_m(img, train=train)
+        if self.neck_m is not None:
+            x = self.neck_m(x)
+        return x
+
+    def __call__(self, img: jnp.ndarray, train: bool = False):
+        feats = self.extract_feat(img, train=train)
+        return self.rpn_head_m(feats, train=train)
+
+    def forward_train(self, img: jnp.ndarray, batch: Dict[str, Any]):
+        feats = self.extract_feat(img, train=True)
+        rpn_batch = dict(batch)
+        rpn_batch["pad_shape"] = (img.shape[1], img.shape[2])
+        rpn_batch["gt_labels"] = jnp.zeros_like(batch["gt_labels"])
+        rng = (self.make_rng("sampler") if self.has_rng("sampler")
+               else jax.random.PRNGKey(1))
+        return self.rpn_head_m.loss(*self.rpn_head_m(feats, train=True),
+                                    rpn_batch, rng=rng)
+
+    def simple_test(self, img: jnp.ndarray, img_shapes,
+                    scale_factors=None, rescale: bool = False):
+        from ...core.post_processing import DetResult
+        feats = self.extract_feat(img, train=False)
+        outs = self.rpn_head_m(feats, train=False)
+        cfg = dict((self.test_cfg or {}).get("rpn", self.test_cfg or {}))
+        cfg.setdefault("nms", dict(iou_threshold=0.7))
+        proposals, scores, valid = self.rpn_head_m.get_proposals(
+            *outs, img_shapes, (img.shape[1], img.shape[2]), cfg)
+        if rescale and scale_factors is not None:
+            proposals = proposals / scale_factors[:, None, :]
+        dets = jnp.concatenate([proposals, scores[..., None]], -1)
+        return DetResult(dets, jnp.zeros(scores.shape, jnp.int32),
+                         valid), None
+
+
+@DETECTORS.register_module()
+class TridentFasterRCNN(TwoStageDetector):
+    """TridentNet (arXiv 1901.01892).
+
+    Parity target: mmdet models/detectors/trident_faster_rcnn.py +
+    roi_heads/trident_roi_head.py — at train the three shared-weight
+    dilation branches behave as three data copies: branch features are
+    concatenated along the batch axis and the gt set is tiled x3 (exactly
+    the reference's forward_train); at test a single branch
+    (`test_branch_idx`) runs, so inference is the plain two-stage path.
+    The reference's TridentRoIHead test-time branch-merge NMS is vacuous
+    in single-branch test mode (num_branch=1 at test)."""
+
+    def forward_train(self, img: jnp.ndarray, batch: Dict[str, Any]):
+        branches = self.backbone_m(img, train=True)   # tuple of 3 (B,H,W,C)
+        n = len(branches)
+        x = jnp.concatenate(branches, axis=0)
+        feats = (x,)
+        if self.neck_m is not None:
+            feats = self.neck_m(feats)
+        batch = {k: (jnp.concatenate([v] * n, axis=0)
+                     if isinstance(v, jnp.ndarray) and v.ndim >= 1
+                     and v.shape[0] == img.shape[0] else v)
+                 for k, v in batch.items()}
+        batch["pad_shape"] = (img.shape[1], img.shape[2])
+        return self._forward_train_feats(feats, batch)
+
+    def extract_feat(self, img: jnp.ndarray, train: bool = False):
+        x = self.backbone_m(img, train=train)
+        if train:  # handled by forward_train
+            return x
+        if self.neck_m is not None:
+            x = self.neck_m(x)
+        return x
+
+
+@DETECTORS.register_module()
+class GridRCNN(TwoStageDetector):
+    """Grid R-CNN shell (mmdet models/detectors/grid_rcnn.py) — the grid
+    branch lives in GridRoIHead."""
+    pass
+
+
+@DETECTORS.register_module()
+class PointRend(TwoStageDetector):
+    """PointRend shell (mmdet models/detectors/point_rend.py)."""
+    pass
+
+
+@DETECTORS.register_module()
+class DoubleHeadRCNN(TwoStageDetector):
+    """Double-Head R-CNN shell (mmdet models/detectors/double_head_rcnn
+    via config) — DoubleConvFCBBoxHead in a StandardRoIHead."""
+    pass
+
+
+@DETECTORS.register_module()
+class DetectoRS(TwoStageDetector):
+    """DetectoRS shell — DetectoRS_ResNet(SAC) backbone + RFP neck over a
+    Faster/Cascade R-CNN (mmdet uses CascadeRCNN with those components)."""
     pass
