@@ -1,0 +1,5 @@
+# Cityscapes Faster R-CNN. Parity: reference
+# configs/cityscapes/faster_rcnn_r50_fpn_1x_cityscapes.py
+_base_ = ["../coco/faster_rcnn_r50_fpn_1x_coco.py",
+          "../_base_/datasets/cityscapes_detection.py"]
+model = dict(roi_head=dict(bbox_head=dict(num_classes=8)))

@@ -1,0 +1,4 @@
+# Train-from-scratch Faster R-CNN. Parity: reference
+# configs/scratch/faster_rcnn_r50_fpn_gn-all_scratch_6x_coco.py
+_base_ = ["./faster_rcnn_r50_fpn_1x_coco.py"]
+model = dict(backbone=dict(frozen_stages=-1, norm_eval=False))

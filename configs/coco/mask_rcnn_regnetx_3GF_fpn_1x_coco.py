@@ -1,0 +1,6 @@
+# RegNet Mask R-CNN. Parity: reference
+# configs/regnet/mask_rcnn_regnetx-3.2GF_fpn_1x_coco.py
+_base_ = ["./mask_rcnn_r50_fpn_1x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="RegNet", arch="regnetx_3.2gf"),
+    neck=dict(in_channels=[96, 192, 432, 1008]))

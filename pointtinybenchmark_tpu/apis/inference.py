@@ -118,3 +118,14 @@ def show_result(img: np.ndarray, result: dict, classes=None,
     return imshow_det_bboxes(img, result["bboxes"], result["labels"],
                              class_names=classes, score_thr=score_thr,
                              out_file=out_file)
+
+
+async def async_inference_detector(handle: DetectorHandle, img):
+    """API-parity async variant (reference mmdet/apis/inference.py:212).
+
+    JAX dispatch is already asynchronous — the device computes while Python
+    continues — so this simply wraps `inference_detector` for callers using
+    the reference's awaitable interface (the CUDA-stream scheduling the
+    reference manages by hand has no TPU counterpart).
+    """
+    return inference_detector(handle, img)

@@ -317,3 +317,66 @@ class HungarianAssignerV2:
         labels = jnp.where(assigned > 0,
                            jnp.take_along_axis(gt_labels, safe, axis=1), -1)
         return assigned, labels
+
+
+@BBOX_ASSIGNERS.register_module()
+class CenterRegionAssigner:
+    """Center-region assigner (mmdet core/bbox/assigners/
+    center_region_assigner.py — FoveaBox-style scale-adaptive regions).
+
+    A box is positive for a gt when its center lies inside the gt's
+    `pos_scale`-shrunk central region; boxes inside the `neg_scale` region
+    of any gt but positive for none are ignored (-1). Ties between gts go
+    to the smallest-area gt (the reference's sort-by-area priority),
+    resolved here with a masked argmin instead of a python sort.
+    """
+
+    def __init__(self, pos_scale: float = 0.2, neg_scale: float = 0.2,
+                 min_pos_iof: float = 1e-2, ignore_gt_scale: float = 0.5,
+                 iou_calculator=None):
+        self.pos_scale = pos_scale
+        self.neg_scale = neg_scale
+        self.min_pos_iof = min_pos_iof
+        self.ignore_gt_scale = ignore_gt_scale
+
+    def assign(self, bboxes: jnp.ndarray, gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None,
+               gt_bboxes_ignore: Optional[jnp.ndarray] = None,
+               gt_ignore_valid: Optional[jnp.ndarray] = None,
+               bbox_valid: Optional[jnp.ndarray] = None,
+               overlaps: Optional[jnp.ndarray] = None):
+        n = bboxes.shape[0]
+        g = gt_bboxes.shape[0]
+        cx = (bboxes[:, 0] + bboxes[:, 2]) * 0.5
+        cy = (bboxes[:, 1] + bboxes[:, 3]) * 0.5
+
+        def region(scale):
+            gcx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+            gcy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+            hw = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * scale * 0.5
+            hh = (gt_bboxes[:, 3] - gt_bboxes[:, 1]) * scale * 0.5
+            inside = ((cx[:, None] >= (gcx - hw)[None, :])
+                      & (cx[:, None] <= (gcx + hw)[None, :])
+                      & (cy[:, None] >= (gcy - hh)[None, :])
+                      & (cy[:, None] <= (gcy + hh)[None, :]))
+            return inside & gt_valid[None, :]
+
+        pos_cand = region(self.pos_scale)                    # (N, G)
+        ign_cand = region(self.neg_scale)
+        area = ((gt_bboxes[:, 2] - gt_bboxes[:, 0])
+                * (gt_bboxes[:, 3] - gt_bboxes[:, 1]))
+        area_m = jnp.where(pos_cand, area[None, :], jnp.inf)
+        best = jnp.argmin(area_m, axis=1)
+        has_pos = jnp.any(pos_cand, axis=1)
+        assigned = jnp.where(has_pos, best + 1, 0)
+        ignored = jnp.any(ign_cand, axis=1) & ~has_pos
+        assigned = jnp.where(ignored, -1, assigned).astype(jnp.int32)
+        if bbox_valid is not None:
+            assigned = jnp.where(bbox_valid, assigned, -1)
+        safe = jnp.clip(assigned - 1, 0, g - 1)
+        labels = (jnp.where(assigned > 0, gt_labels[safe], -1)
+                  if gt_labels is not None
+                  else jnp.full((n,), -1, jnp.int32))
+        max_ov = has_pos.astype(jnp.float32)
+        return assigned, max_ov, labels

@@ -715,3 +715,31 @@ class Collect:
             if k in results:
                 data[k] = results[k]
         return data
+
+
+@PIPELINES.register_module()
+class Albu:
+    """Gated stand-in for the albumentations bridge (mmdet datasets/
+    pipelines/transforms.py Albu). The `albumentations` package is not in
+    this image; configs that request it fail fast with a clear message
+    instead of at some random point inside the worker."""
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            "Albu requires the external `albumentations` package, which is "
+            "not available in this environment. Use the built-in "
+            "PhotoMetricDistortion / AutoAugment / CutOut transforms "
+            "instead, or install albumentations and replace this stub.")
+
+
+@PIPELINES.register_module()
+class InstaBoost:
+    """Gated stand-in for InstaBoost (mmdet datasets/pipelines/
+    instaboost.py), which requires the external `instaboostfast` package."""
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            "InstaBoost requires the external `instaboostfast` package, "
+            "which is not available in this environment. The crop-paste "
+            "augmentation family is otherwise covered by Expand / "
+            "MinIoURandomCrop / CutOut.")

@@ -84,7 +84,8 @@ from .dense_heads.centripetal_head import CentripetalHead  # noqa: E402
 from .dense_heads.pisa_retina_head import PISASSDHead  # noqa: E402
 from .dense_heads.cascade_rpn_head import CascadeRPNHead, region_assign  # noqa: E402
 from .detectors.two_stage import RPN  # noqa: E402
-from .detectors.single_stage import CentripetalNet  # noqa: E402
+from .detectors.single_stage import (ATSS, FCOS, GFL, NASFCOS,  # noqa: E402
+                                     PAA, CentripetalNet, RetinaNet)
 from .detectors.two_stage import (DetectoRS, DoubleHeadRCNN,  # noqa: E402
                                   DynamicRCNN, GridRCNN, HybridTaskCascade,
                                   MaskScoringRCNN, PointRend, SCNet,
@@ -101,4 +102,5 @@ __all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
             "SABLRoIHead", "DoubleConvFCBBoxHead", "SABLHead",
             "GridRCNN", "PointRend", "DoubleHeadRCNN",
             "CentripetalHead", "CentripetalNet", "FPG", "NASFCOS_FPN",
-            "TridentFasterRCNN", "CascadeRPNHead", "region_assign", "RPN", "PISASSDHead"]
+            "TridentFasterRCNN", "CascadeRPNHead", "region_assign", "RPN", "PISASSDHead",
+            "RetinaNet", "FCOS", "ATSS", "GFL", "PAA", "NASFCOS"]

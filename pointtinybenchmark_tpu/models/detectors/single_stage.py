@@ -200,3 +200,34 @@ class CentripetalNet(SingleStageDetector):
 @DETECTORS.register_module()
 class FSAF(SingleStageDetector):
     """mmdet models/detectors/fsaf.py parity (FSAFHead shell)."""
+
+
+@DETECTORS.register_module()
+class RetinaNet(SingleStageDetector):
+    """mmdet models/detectors/retinanet.py parity (RetinaHead shell)."""
+
+
+@DETECTORS.register_module()
+class FCOS(SingleStageDetector):
+    """mmdet models/detectors/fcos.py parity (FCOSHead shell)."""
+
+
+@DETECTORS.register_module()
+class ATSS(SingleStageDetector):
+    """mmdet models/detectors/atss.py parity (ATSSHead shell)."""
+
+
+@DETECTORS.register_module()
+class GFL(SingleStageDetector):
+    """mmdet models/detectors/gfl.py parity (GFLHead shell)."""
+
+
+@DETECTORS.register_module()
+class PAA(SingleStageDetector):
+    """mmdet models/detectors/paa.py parity (PAAHead shell)."""
+
+
+@DETECTORS.register_module()
+class NASFCOS(SingleStageDetector):
+    """mmdet models/detectors/nasfcos.py parity (NASFCOS_FPN +
+    FCOSHead shell)."""
