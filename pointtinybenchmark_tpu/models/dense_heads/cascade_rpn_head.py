@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...core.anchors import AnchorGenerator
-from ...core.bbox import bbox2delta, delta2bbox
+from ...core.bbox import delta2bbox
 from ...ops.grid_sample import point_sample_pixel
 from ...ops.iou import bbox_overlaps, bbox_overlaps_aligned
 from ...ops.nms import nms

@@ -16,7 +16,7 @@ program with the centripetal gate instead of the embedding gate.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.post_processing import DetResult
+
 from ...utils.registry import HEADS
 from .cascade_roi_head import CascadeRoIHead
 from .mask_head import mask_target
