@@ -743,3 +743,87 @@ class InstaBoost:
             "which is not available in this environment. The crop-paste "
             "augmentation family is otherwise covered by Expand / "
             "MinIoURandomCrop / CutOut.")
+
+
+@PIPELINES.register_module()
+class Corrupt:
+    """Image-corruption transform for the robustness benchmark (reference
+    datasets/pipelines/transforms.py Corrupt + the `imagecorruptions`
+    package). The external package is absent; the benchmark's noise /
+    blur / digital families are re-implemented in numpy+PIL with the same
+    5-severity parameterization. Weather corruptions (snow/frost/fog) need
+    texture assets and are not included (documented deviation).
+    """
+
+    SUPPORTED = ("gaussian_noise", "shot_noise", "impulse_noise",
+                 "defocus_blur", "motion_blur", "brightness", "contrast",
+                 "pixelate", "jpeg_compression")
+
+    def __init__(self, corruption: str, severity: int = 1):
+        assert corruption in self.SUPPORTED, (
+            f"{corruption} not in {self.SUPPORTED}")
+        assert 1 <= severity <= 5
+        self.corruption = corruption
+        self.severity = severity
+
+    def _apply(self, img: np.ndarray, rng: np.random.RandomState
+               ) -> np.ndarray:
+        s = self.severity - 1
+        x = img.astype(np.float32) / 255.0
+        c = self.corruption
+        if c == "gaussian_noise":
+            sigma = [0.08, 0.12, 0.18, 0.26, 0.38][s]
+            x = x + rng.normal(size=x.shape) * sigma
+        elif c == "shot_noise":
+            lam = [60, 25, 12, 5, 3][s]
+            x = rng.poisson(np.clip(x, 0, 1) * lam) / float(lam)
+        elif c == "impulse_noise":
+            amount = [0.03, 0.06, 0.09, 0.17, 0.27][s]
+            m = rng.rand(*x.shape[:2])
+            x[m < amount / 2] = 0.0
+            x[m > 1 - amount / 2] = 1.0
+        elif c in ("defocus_blur", "motion_blur"):
+            from PIL import ImageFilter
+            radius = [1, 2, 3, 4, 6][s]
+            im = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+            if c == "defocus_blur":
+                im = im.filter(ImageFilter.GaussianBlur(radius))
+                return np.asarray(im, np.float32)
+            # motion blur: horizontal box streak via padded cumsum
+            k = 2 * radius + 1
+            arr = np.asarray(im, np.float32)
+            pad = np.pad(arr, ((0, 0), (radius, radius), (0, 0)),
+                         mode="edge")
+            csum = np.cumsum(pad, axis=1)
+            out = (csum[:, k - 1:, :] - np.concatenate(
+                [np.zeros_like(csum[:, :1, :]), csum[:, :-k, :]],
+                axis=1)) / k
+            return out.astype(np.float32)
+        elif c == "brightness":
+            x = x + [0.1, 0.2, 0.3, 0.4, 0.5][s]
+        elif c == "contrast":
+            f = [0.4, 0.3, 0.2, 0.1, 0.05][s]
+            x = (x - x.mean((0, 1), keepdims=True)) * f \
+                + x.mean((0, 1), keepdims=True)
+        elif c == "pixelate":
+            f = [0.6, 0.5, 0.4, 0.3, 0.25][s]
+            h, w = img.shape[:2]
+            im = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+            im = im.resize((max(int(w * f), 1), max(int(h * f), 1)),
+                           Image.BOX).resize((w, h), Image.NEAREST)
+            return np.asarray(im, np.float32)
+        elif c == "jpeg_compression":
+            import io
+            q = [25, 18, 15, 10, 7][s]
+            im = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+            buf = io.BytesIO()
+            im.save(buf, format="JPEG", quality=q)
+            buf.seek(0)
+            return np.asarray(Image.open(buf), np.float32)
+        return np.clip(x, 0, 1) * 255.0
+
+    def __call__(self, results: dict) -> dict:
+        rng = results.get("_rng") or np.random.RandomState(0)
+        results["img"] = self._apply(
+            np.asarray(results["img"], np.float32), rng).astype(np.float32)
+        return results
