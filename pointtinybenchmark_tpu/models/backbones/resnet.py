@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -68,6 +69,9 @@ class Bottleneck(nn.Module):
     norm_use_running_average: bool = True
     groups: int = 1          # ResNeXt: grouped 3x3 (mmdet backbones/resnext.py)
     base_width: int = 64
+    with_dcn: bool = False           # mmdet dcn=dict(type='DCN'/'DCNv2')
+    dcn_modulated: bool = False
+    gcb_ratio: float = 0.0           # GCNet ContextBlock after conv3
 
     expansion: int = 4
 
@@ -83,9 +87,15 @@ class Bottleneck(nn.Module):
                          dtype=self.dtype)(y)
         y = nn.relu(y)
         # pytorch style: stride on the 3x3
-        y = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype,
-                    feature_group_count=self.groups)(y)
+        if self.with_dcn:
+            from ...ops.dcn import DeformConv2d
+            y = DeformConv2d(mid, kernel_size=3, stride=self.stride,
+                             modulated=self.dcn_modulated, dtype=self.dtype,
+                             name="dcn_conv2")(y)
+        else:
+            y = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
+                        padding=1, use_bias=False, dtype=self.dtype,
+                        feature_group_count=self.groups)(y)
         y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
                          dtype=self.dtype)(y)
         y = nn.relu(y)
@@ -93,6 +103,9 @@ class Bottleneck(nn.Module):
                     dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
                          dtype=self.dtype)(y)
+        if self.gcb_ratio > 0:
+            y = ContextBlock(ratio=self.gcb_ratio, dtype=self.dtype,
+                             name="gcb")(y)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
@@ -101,6 +114,30 @@ class Bottleneck(nn.Module):
                 use_running_average=self.norm_use_running_average,
                 dtype=self.dtype)(identity)
         return nn.relu(y + identity)
+
+
+class ContextBlock(nn.Module):
+    """GCNet global-context block (mmcv cnn/bricks/context_block.py, used by
+    the reference's configs/gcnet plugins=[ContextBlock]): softmax attention
+    pooling over all positions -> bottleneck transform (LN + relu) ->
+    broadcast add. Zero-init output conv keeps identity at init."""
+    ratio: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        attn = nn.Conv(1, (1, 1), dtype=self.dtype,
+                       name="conv_mask")(x)                 # (B, H, W, 1)
+        attn = jax.nn.softmax(attn.reshape(b, h * w, 1), axis=1)
+        ctx = jnp.einsum("bnc,bn1->bc", x.reshape(b, h * w, c),
+                         attn)                              # (B, C)
+        planes = max(int(c * self.ratio), 1)
+        t = nn.Dense(planes, dtype=self.dtype, name="channel_add_fc1")(ctx)
+        t = nn.relu(nn.LayerNorm(dtype=self.dtype)(t))
+        t = nn.Dense(c, kernel_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="channel_add_fc2")(t)
+        return x + t[:, None, None, :]
 
 
 @BACKBONES.register_module()
@@ -114,7 +151,19 @@ class ResNet(nn.Module):
     base_channels: int = 64
     groups: int = 1
     base_width: int = 64
+    dcn: Optional[dict] = None           # dict(type='DCN'|'DCNv2', ...)
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    plugins: Optional[Sequence[dict]] = None  # [dict(cfg=dict(type='ContextBlock', ratio=r), stages=(...))]
     dtype: Any = jnp.float32
+
+    def _stage_gcb_ratio(self, i: int) -> float:
+        for pl in (self.plugins or ()):
+            cfg = dict(pl.get("cfg", {}))
+            if cfg.get("type") == "ContextBlock":
+                stages = pl.get("stages", (True,) * self.num_stages)
+                if stages[i]:
+                    return float(cfg.get("ratio", 0.25))
+        return 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -142,7 +191,12 @@ class ResNet(nn.Module):
                 kwargs = {}
                 if block_cls is Bottleneck:
                     kwargs = dict(groups=self.groups,
-                                  base_width=self.base_width)
+                                  base_width=self.base_width,
+                                  with_dcn=bool(self.dcn)
+                                  and bool(self.stage_with_dcn[i]),
+                                  dcn_modulated=(self.dcn or {}).get(
+                                      "type") == "DCNv2",
+                                  gcb_ratio=self._stage_gcb_ratio(i))
                 x = block_cls(planes=planes, stride=s, downsample=need_down,
                               dtype=self.dtype,
                               norm_use_running_average=use_ra,
