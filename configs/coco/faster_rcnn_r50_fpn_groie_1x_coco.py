@@ -1,0 +1,7 @@
+# GRoIE Faster R-CNN. Parity: reference
+# configs/groie/faster_rcnn_r50_fpn_groie_1x_coco.py
+_base_ = ["./faster_rcnn_r50_fpn_1x_coco.py"]
+model = dict(roi_head=dict(bbox_roi_extractor=dict(
+    type="GenericRoIExtractor", aggregation="sum",
+    roi_layer=dict(type="RoIAlign", output_size=7, sampling_ratio=0),
+    out_channels=256, featmap_strides=[4, 8, 16, 32])))

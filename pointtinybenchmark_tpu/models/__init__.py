@@ -83,7 +83,7 @@ from .roi_heads.bbox_head import DoubleConvFCBBoxHead, SABLHead  # noqa: E402
 from .dense_heads.centripetal_head import CentripetalHead  # noqa: E402
 from .dense_heads.pisa_retina_head import PISASSDHead  # noqa: E402
 from .dense_heads.cascade_rpn_head import CascadeRPNHead, region_assign  # noqa: E402
-from .detectors.two_stage import RPN  # noqa: E402
+from .detectors.two_stage import FastRCNN, RPN  # noqa: E402
 from .detectors.single_stage import (ATSS, FCOS, GFL, NASFCOS,  # noqa: E402
                                      PAA, CentripetalNet, RetinaNet)
 from .detectors.two_stage import (DetectoRS, DoubleHeadRCNN,  # noqa: E402
@@ -103,4 +103,4 @@ __all__ += ["RPNHead", "RepPointsHead", "RepPointsDetector",
             "GridRCNN", "PointRend", "DoubleHeadRCNN",
             "CentripetalHead", "CentripetalNet", "FPG", "NASFCOS_FPN",
             "TridentFasterRCNN", "CascadeRPNHead", "region_assign", "RPN", "PISASSDHead",
-            "RetinaNet", "FCOS", "ATSS", "GFL", "PAA", "NASFCOS"]
+            "RetinaNet", "FCOS", "ATSS", "GFL", "PAA", "NASFCOS", "FastRCNN"]

@@ -116,6 +116,62 @@ class Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class GeneralizedAttention(nn.Module):
+    """Empirical-attention plugin (mmcv cnn/bricks/generalized_attention.py,
+    reference configs/empirical_attention): multi-head self-attention over
+    the feature map inserted into ResNet stages. The reference's four
+    attention-term toggles ('1111' etc.) reduce, in its best-performing
+    configs, to query-key content attention plus a learned relative-position
+    bias — implemented here with downsampled keys (kv_stride) so the
+    (HW x HW) score matrix stays small; zero-init output proj keeps the
+    block an identity at init."""
+    num_heads: int = 8
+    kv_stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        dim = max(c // heads, 1)
+        q = nn.Conv(heads * dim, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="query")(x)
+        kv = x[:, ::self.kv_stride, ::self.kv_stride, :]
+        kh, kw = kv.shape[1:3]
+        k = nn.Conv(heads * dim, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="key")(kv)
+        v = nn.Conv(heads * dim, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="value")(kv)
+        q = q.reshape(b, h * w, heads, dim)
+        k = k.reshape(b, kh * kw, heads, dim)
+        v = v.reshape(b, kh * kw, heads, dim)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dim, q.dtype))
+        # learned relative-position bias over the (dy, dx) offset grid
+        qy = jnp.arange(h)[:, None] // 1
+        ky = jnp.arange(kh)[None, :] * self.kv_stride
+        qx = jnp.arange(w)[:, None]
+        kx = jnp.arange(kw)[None, :] * self.kv_stride
+        dy = (qy - ky) + (kh - 1) * self.kv_stride      # >= 0
+        dx = (qx - kx) + (kw - 1) * self.kv_stride
+        max_dy = h + (kh - 1) * self.kv_stride
+        max_dx = w + (kw - 1) * self.kv_stride
+        bias_y = self.param("rel_bias_y", nn.initializers.zeros,
+                            (heads, max_dy)).astype(q.dtype)
+        bias_x = self.param("rel_bias_x", nn.initializers.zeros,
+                            (heads, max_dx)).astype(q.dtype)
+        by = bias_y[:, dy]                               # (heads, H, KH)
+        bx = bias_x[:, dx]                               # (heads, W, KW)
+        pos = (by[:, :, None, :, None] + bx[:, None, :, None, :]).reshape(
+            heads, h * w, kh * kw)
+        attn = jax.nn.softmax(logits + pos[None], axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w,
+                                                            heads * dim)
+        out = nn.Conv(c, (1, 1), kernel_init=nn.initializers.zeros,
+                      dtype=self.dtype, name="proj")(out)
+        return x + out
+
+
 class ContextBlock(nn.Module):
     """GCNet global-context block (mmcv cnn/bricks/context_block.py, used by
     the reference's configs/gcnet plugins=[ContextBlock]): softmax attention
@@ -165,6 +221,15 @@ class ResNet(nn.Module):
                     return float(cfg.get("ratio", 0.25))
         return 0.0
 
+    def _stage_attention(self, i: int) -> Optional[dict]:
+        for pl in (self.plugins or ()):
+            cfg = dict(pl.get("cfg", {}))
+            if cfg.get("type") == "GeneralizedAttention":
+                stages = pl.get("stages", (True,) * self.num_stages)
+                if stages[i]:
+                    return cfg
+        return None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_name, stage_blocks = ARCH_SETTINGS[self.depth]
@@ -202,6 +267,12 @@ class ResNet(nn.Module):
                               norm_use_running_average=use_ra,
                               name=f"layer{i + 1}_block{j}", **kwargs)(x)
                 in_ch = planes * expansion
+            attn_cfg = self._stage_attention(i)
+            if attn_cfg is not None:
+                x = GeneralizedAttention(
+                    num_heads=int(attn_cfg.get("num_heads", 8)),
+                    kv_stride=int(attn_cfg.get("kv_stride", 2)),
+                    dtype=self.dtype, name=f"attn{i + 1}")(x)
             if i in self.out_indices:
                 outs.append(x)
             planes *= 2

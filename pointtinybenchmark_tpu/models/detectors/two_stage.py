@@ -162,6 +162,77 @@ class DynamicRCNN(TwoStageDetector):
 
 
 @DETECTORS.register_module()
+class FastRCNN(nn.Module):
+    """Fast R-CNN (mmdet models/detectors/fast_rcnn.py): the second stage
+    alone, consuming precomputed proposals. The batch dict carries
+    `proposals` (B, P, 4) and optional `proposals_valid` (B, P) — the
+    static-shape analog of the reference's per-image proposal lists."""
+    backbone: dict
+    roi_head: dict
+    neck: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+
+    def setup(self):
+        self.backbone_m = build_backbone(dict(self.backbone))
+        self.neck_m = build_neck(dict(self.neck)) if self.neck else None
+        roi_cfg = dict(self.roi_head)
+        roi_cfg.setdefault("train_cfg", (self.train_cfg or {}).get(
+            "rcnn", self.train_cfg))
+        roi_cfg.setdefault("test_cfg", (self.test_cfg or {}).get(
+            "rcnn", self.test_cfg))
+        self.roi_head_m = build_head(roi_cfg)
+
+    def extract_feat(self, img, train: bool = False):
+        x = self.backbone_m(img, train=train)
+        if self.neck_m is not None:
+            x = self.neck_m(x)
+        return x
+
+    def _props(self, batch, b):
+        proposals = batch["proposals"]
+        valid = batch.get("proposals_valid",
+                          jnp.ones(proposals.shape[:2], bool))
+        return proposals, valid
+
+    def __call__(self, img: jnp.ndarray, proposals=None,
+                 train: bool = False):
+        feats = self.extract_feat(img, train=train)
+        b = img.shape[0]
+        if proposals is None:
+            proposals = jnp.zeros((b, 8, 4), jnp.float32)
+        img_shapes = jnp.tile(
+            jnp.asarray([[img.shape[1], img.shape[2]]], jnp.int32), (b, 1))
+        return self.roi_head_m.simple_test(
+            feats, proposals, jnp.ones(proposals.shape[:2], bool),
+            img_shapes)
+
+    def forward_train(self, img: jnp.ndarray, batch: Dict[str, Any]):
+        feats = self.extract_feat(img, train=True)
+        batch = dict(batch)
+        batch["pad_shape"] = (img.shape[1], img.shape[2])
+        proposals, valid = self._props(batch, img.shape[0])
+        rng = self.make_rng("sampler") if self.has_rng("sampler") else \
+            jax.random.PRNGKey(0)
+        losses = self.roi_head_m.forward_train(feats, proposals, valid,
+                                               batch, rng)
+        return {k if k.startswith("loss") else f"rcnn_{k}": v
+                for k, v in losses.items()}
+
+    def simple_test(self, img: jnp.ndarray, img_shapes, proposals=None,
+                    proposals_valid=None, scale_factors=None,
+                    rescale: bool = False):
+        feats = self.extract_feat(img, train=False)
+        if proposals_valid is None:
+            proposals_valid = jnp.ones(proposals.shape[:2], bool)
+        dets = self.roi_head_m.simple_test(feats, proposals,
+                                           proposals_valid, img_shapes,
+                                           scale_factors, rescale)
+        return dets, None
+
+
+@DETECTORS.register_module()
 class RPN(nn.Module):
     """Standalone region-proposal network (mmdet models/detectors/rpn.py):
     trains/evaluates the RPN alone; detections are the class-agnostic

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ...ops.roi_align import roi_align
 
-__all__ = ["single_roi_extract", "map_roi_levels"]
+__all__ = ["single_roi_extract", "generic_roi_extract", "map_roi_levels"]
 
 
 def map_roi_levels(rois: jnp.ndarray, num_levels: int,
@@ -44,3 +44,20 @@ def single_roi_extract(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
         sel = (lvls == i).astype(r.dtype)[:, None, None, None]
         out = r * sel if out is None else out + r * sel
     return out
+
+
+def generic_roi_extract(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                        featmap_strides: Sequence[int],
+                        output_size: int = 7, sampling_ratio: int = 2,
+                        aggregation: str = "sum") -> jnp.ndarray:
+    """GRoIE-style extraction (mmdet models/roi_heads/roi_extractors/
+    generic_roi_extractor.py): RoIAlign every RoI from EVERY pyramid level
+    and aggregate (sum / concat) instead of routing to one level. On TPU
+    this is the same all-level gather as single_roi_extract minus the
+    one-hot select — the 'extra' work the reference pays for GRoIE is the
+    default cost structure here."""
+    outs = [roi_align(feat, rois, 1.0 / stride, output_size, sampling_ratio)
+            for feat, stride in zip(feats, featmap_strides)]
+    if aggregation == "concat":
+        return jnp.concatenate(outs, axis=-1)
+    return sum(outs)

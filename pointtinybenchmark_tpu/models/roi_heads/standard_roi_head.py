@@ -24,7 +24,7 @@ from ...core.bbox import bbox2delta, delta2bbox
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS, LOSSES
 from ..builder import build_head
-from .roi_extractor import single_roi_extract
+from .roi_extractor import generic_roi_extract, single_roi_extract
 
 __all__ = ["StandardRoIHead"]
 
@@ -53,7 +53,9 @@ class StandardRoIHead(nn.Module):
             featmap_strides=tuple(cfg.get("featmap_strides", (4, 8, 16, 32))),
             output_size=int(roi_layer.get("output_size", 7)),
             sampling_ratio=max(int(roi_layer.get("sampling_ratio", 0)), 2),
-            finest_scale=float(cfg.get("finest_scale", 56)))
+            finest_scale=float(cfg.get("finest_scale", 56)),
+            generic=cfg.get("type") == "GenericRoIExtractor",
+            aggregation=str(cfg.get("aggregation", "sum")))
 
     def _coder_params(self):
         cfg = dict((self.bbox_head or {}).get("bbox_coder", {}))
@@ -68,6 +70,12 @@ class StandardRoIHead(nn.Module):
     def _extract(self, feats, rois: jnp.ndarray) -> jnp.ndarray:
         ec = self._extractor_cfg
         n_lvl = len(ec["featmap_strides"])
+        if ec.get("generic"):
+            # GRoIE (mmdet GenericRoIExtractor, configs/groie): aggregate
+            # over all levels instead of routing to one
+            return generic_roi_extract(
+                feats[:n_lvl], rois, ec["featmap_strides"],
+                ec["output_size"], ec["sampling_ratio"], ec["aggregation"])
         return single_roi_extract(feats[:n_lvl], rois,
                                   ec["featmap_strides"], ec["output_size"],
                                   ec["sampling_ratio"], ec["finest_scale"])

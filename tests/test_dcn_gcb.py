@@ -59,3 +59,77 @@ def test_resnet_dcn_and_gcb():
     gn = jax.tree_util.tree_reduce(lambda a, t: a + float(jnp.sum(t * t)),
                                    g, 0.0)
     assert np.isfinite(gn) and gn > 0
+
+
+def test_resnet_generalized_attention():
+    from pointtinybenchmark_tpu.models import ResNet
+    m = ResNet(depth=18, base_channels=8,
+               plugins=[dict(cfg=dict(type="GeneralizedAttention",
+                                      num_heads=4, kv_stride=2),
+                             stages=(False, False, True, True))])
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    flat = [jax.tree_util.keystr(k) for k, _ in
+            jax.tree_util.tree_leaves_with_path(v["params"])]
+    assert any("attn3" in s for s in flat) and any("attn4" in s
+                                                  for s in flat)
+    assert not any("attn1" in s for s in flat)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [8, 16, 32, 64]
+    # zero-init proj -> identity at init
+    m0 = ResNet(depth=18, base_channels=8)
+    v0 = m0.init(jax.random.PRNGKey(0), x)
+    outs0 = m0.apply(v0, x)
+    np.testing.assert_allclose(np.asarray(outs[3]), np.asarray(outs0[3]),
+                               atol=1e-5)
+
+
+def test_fast_rcnn_precomputed_proposals():
+    from pointtinybenchmark_tpu.models import build_detector
+    model = build_detector(
+        dict(type="FastRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0, num_outs=4),
+             roi_head=dict(
+                 type="StandardRoIHead",
+                 bbox_roi_extractor=dict(
+                     type="GenericRoIExtractor", aggregation="sum",
+                     roi_layer=dict(type="RoIAlign", output_size=7,
+                                    sampling_ratio=0),
+                     out_channels=16, featmap_strides=[4, 8, 16, 32]),
+                 bbox_head=dict(type="Shared2FCBBoxHead", num_classes=2,
+                                in_channels=16, fc_out_channels=32,
+                                roi_feat_size=7))),
+        dict(rcnn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0.5),
+                       sampler=dict(type="RandomSampler", num=32,
+                                    pos_fraction=0.25))),
+        dict(rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                       max_per_img=8)))
+    rng = np.random.RandomState(1)
+    bb = rng.rand(2, 5, 4).astype(np.float32) * 30
+    bb[..., 2:] = bb[..., :2] + 8 + rng.rand(2, 5, 2).astype(np.float32) * 20
+    props = rng.rand(2, 20, 4).astype(np.float32) * 30
+    props[..., 2:] = props[..., :2] + 6 \
+        + rng.rand(2, 20, 2).astype(np.float32) * 25
+    batch = dict(gt_bboxes=jnp.asarray(bb),
+                 gt_labels=jnp.asarray(rng.randint(0, 2, (2, 5)), jnp.int32),
+                 gt_valid=jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]],
+                                      bool),
+                 proposals=jnp.asarray(props),
+                 img_shape=jnp.asarray([[64, 64], [60, 62]], jnp.int32))
+    img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           proposals=jnp.asarray(props))
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"],
+                            rngs={"sampler": jax.random.PRNGKey(3)})
+    assert "loss_cls" in losses and "loss_bbox" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    dets, _ = model.apply(variables, img,
+                          jnp.asarray([[64, 64], [60, 62]]),
+                          method=model.simple_test,
+                          proposals=jnp.asarray(props))
+    assert dets.bboxes.shape == (2, 8, 5)
