@@ -38,17 +38,24 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     norm_use_running_average: bool = True
+    conv_ws: bool = False    # gn+ws family: weight-standardized convs
+
+    def _conv3(self, feats, stride=1):
+        if self.conv_ws:
+            from ..utils import WSConv
+            return WSConv(feats, (3, 3), strides=(stride, stride),
+                          padding=1, dtype=self.dtype)
+        return nn.Conv(feats, (3, 3), strides=(stride, stride), padding=1,
+                       use_bias=False, dtype=self.dtype)
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype)(x)
+        y = self._conv3(self.planes, self.stride)(x)
         y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
                          dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(y)
+        y = self._conv3(self.planes)(y)
         y = nn.BatchNorm(use_running_average=self.norm_use_running_average,
                          dtype=self.dtype)(y)
         if self.downsample:
@@ -72,6 +79,7 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False           # mmdet dcn=dict(type='DCN'/'DCNv2')
     dcn_modulated: bool = False
     gcb_ratio: float = 0.0           # GCNet ContextBlock after conv3
+    conv_ws: bool = False            # gn+ws: weight-standardized 3x3
 
     expansion: int = 4
 
@@ -92,6 +100,11 @@ class Bottleneck(nn.Module):
             y = DeformConv2d(mid, kernel_size=3, stride=self.stride,
                              modulated=self.dcn_modulated, dtype=self.dtype,
                              name="dcn_conv2")(y)
+        elif self.conv_ws:
+            from ..utils import WSConv
+            y = WSConv(mid, (3, 3), strides=(self.stride, self.stride),
+                       padding=1, feature_group_count=self.groups,
+                       dtype=self.dtype)(y)
         else:
             y = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
                         padding=1, use_bias=False, dtype=self.dtype,
@@ -209,6 +222,7 @@ class ResNet(nn.Module):
     base_width: int = 64
     dcn: Optional[dict] = None           # dict(type='DCN'|'DCNv2', ...)
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    conv_ws: bool = False                # gn+ws family
     plugins: Optional[Sequence[dict]] = None  # [dict(cfg=dict(type='ContextBlock', ratio=r), stages=(...))]
     dtype: Any = jnp.float32
 
@@ -261,7 +275,10 @@ class ResNet(nn.Module):
                                   and bool(self.stage_with_dcn[i]),
                                   dcn_modulated=(self.dcn or {}).get(
                                       "type") == "DCNv2",
-                                  gcb_ratio=self._stage_gcb_ratio(i))
+                                  gcb_ratio=self._stage_gcb_ratio(i),
+                                  conv_ws=self.conv_ws)
+                else:
+                    kwargs = dict(conv_ws=self.conv_ws)
                 x = block_cls(planes=planes, stride=s, downsample=need_down,
                               dtype=self.dtype,
                               norm_use_running_average=use_ra,

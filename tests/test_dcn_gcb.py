@@ -133,3 +133,29 @@ def test_fast_rcnn_precomputed_proposals():
                           method=model.simple_test,
                           proposals=jnp.asarray(props))
     assert dets.bboxes.shape == (2, 8, 5)
+
+
+def test_resnet_conv_ws():
+    from pointtinybenchmark_tpu.models import ResNet
+    for depth in (18, 50):
+        m = ResNet(depth=depth, base_channels=8, conv_ws=True)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        flat = [jax.tree_util.keystr(k) for k, _ in
+                jax.tree_util.tree_leaves_with_path(v["params"])]
+        assert any("WSConv" in s for s in flat), depth
+        outs = m.apply(v, x)
+        assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+    # standardization: effective kernel has ~zero mean per output channel
+    from pointtinybenchmark_tpu.models.utils import WSConv
+    ws = WSConv(4, (3, 3))
+    xx = jnp.ones((1, 8, 8, 2))
+    vv = ws.init(jax.random.PRNGKey(1), xx)
+    k = np.asarray(vv["params"]["kernel"])
+    # raw param is NOT standardized; the forward standardizes. Check via
+    # linearity: output of all-ones input == sum of standardized kernel
+    out = np.asarray(ws.apply(vv, xx))[0, 4, 4]
+    he_std = np.sqrt(2.0 / (3 * 3 * 2))
+    ks = he_std * (k - k.mean((0, 1, 2))) / (k.std((0, 1, 2)) + 1e-5)
+    np.testing.assert_allclose(out, ks.sum((0, 1, 2)), atol=1e-4)
