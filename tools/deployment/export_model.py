@@ -47,8 +47,10 @@ def main():
     else:
         variables = model.init(jax.random.PRNGKey(0), img, train=False)
 
-    fn = jax.jit(lambda i, s: model.apply(variables, i, s,
-                                          method=model.simple_test))
+    # the serving artifact returns flat array leaves (bboxes, labels,
+    # valid[, masks...]) — namedtuple wrappers are host-side conveniences
+    fn = jax.jit(lambda i, s: tuple(jax.tree_util.tree_leaves(
+        model.apply(variables, i, s, method=model.simple_test))))
     exported = jexport.export(fn)(img, img_shape)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
