@@ -23,6 +23,10 @@ def parse_args():
     p.add_argument("--load-from", help="checkpoint to load weights from")
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--launcher", default="none",
+                   choices=["none", "pytorch", "slurm", "mpi"],
+                   help="kept for reference-CLI compatibility; "
+                        "single-controller JAX needs no per-rank launch")
     p.add_argument("--cfg-options", nargs="+", default=[],
                    help="override config entries: key=value (dotted keys)")
     return p.parse_args()
