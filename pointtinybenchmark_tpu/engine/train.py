@@ -62,7 +62,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
     def train_step(state, batch, rng):
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
+            mutable = False
             if state["batch_stats"]:
                 variables["batch_stats"] = state["batch_stats"]
                 mutable = ["batch_stats"]
@@ -79,14 +79,39 @@ def make_train_step(model, tx: optax.GradientTransformation,
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)
+        # Per-step NaN guard (reference LogNanStopHook, apis/train.py:177-203,
+        # checks every iter). In-graph: when the loss or any grad is
+        # non-finite, SKIP the whole update (params/opt_state keep their
+        # previous values) so detection latency on host can never corrupt
+        # state; a sticky `nan_seen` flag rides the state and surfaces at the
+        # next host sync, where train_detector exits 254.
+        loss_finite = jnp.isfinite(total)
+        grad_leaves = jax.tree_util.tree_leaves(grads)
+        grads_finite = jnp.stack(
+            [jnp.all(jnp.isfinite(g)) for g in grad_leaves]).all() \
+            if grad_leaves else jnp.bool_(True)
+        prev_nan = state["nan_seen"] if "nan_seen" in state \
+            else jnp.bool_(False)
+        # freeze state entirely once NaN was ever seen: params at host stop
+        # are exactly those of the last step before the first NaN, matching
+        # the reference's immediate exit semantics.
+        ok = loss_finite & grads_finite & ~prev_nan
+        keep = lambda new, old: jnp.where(ok, new, old)
+        params = jax.tree_util.tree_map(keep, params, state["params"])
+        opt_state = jax.tree_util.tree_map(keep, opt_state,
+                                           state["opt_state"])
+        nan_seen = prev_nan | ~loss_finite
         new_state = dict(
             params=params,
             batch_stats=mut.get("batch_stats", state["batch_stats"]),
             opt_state=opt_state,
             step=state["step"] + 1,
         )
+        if "nan_seen" in state:
+            new_state["nan_seen"] = nan_seen
         metrics = dict(losses)
         metrics["loss"] = total
+        metrics["nan_seen"] = nan_seen
         return new_state, metrics
 
     return train_step
@@ -144,7 +169,8 @@ def train_detector(model, dataset, cfg, work_dir: str,
                          cfg.get("lr_config"), iters_per_epoch, max_epochs,
                          param_mask=mask)
     state = dict(params=params, batch_stats=batch_stats,
-                 opt_state=tx.init(params), step=jnp.int32(0))
+                 opt_state=tx.init(params), step=jnp.int32(0),
+                 nan_seen=jnp.bool_(False))
 
     start_epoch = 0
     if resume_from:
@@ -200,9 +226,13 @@ def train_detector(model, dataset, cfg, work_dir: str,
                 with open(osp.join(work_dir, "log.json"), "a") as f:
                     import json as _json
                     f.write(_json.dumps(entry) + "\n")
-                if stop_while_nan and not np.isfinite(vals.get("loss", 0.0)):
-                    # reference LogNanStopHook exits 254 (apis/train.py:203)
-                    logger.error("loss is NaN — stopping (exit 254)")
+                if stop_while_nan and (vals.get("nan_seen", 0.0) > 0 or
+                                       not np.isfinite(vals.get("loss", 0.0))):
+                    # reference LogNanStopHook exits 254 (apis/train.py:203).
+                    # nan_seen is sticky and per-step; the in-graph update was
+                    # skipped for every non-finite step, so params are those
+                    # of the last finite step (uncorrupted).
+                    logger.error("loss went NaN — stopping (exit 254)")
                     sys.exit(254)
         del pending
 

@@ -92,7 +92,8 @@ class COCOExpandEval:
         self.ignore_uncertain = ignore_uncertain
         self.use_ignore_attr = use_ignore_attr
         self.use_iod_for_ignore = use_iod_for_ignore
-        self.iod_th_of_iou_f = eval(iod_th_of_iou_f)  # noqa: S307 — config surface parity
+        from ..utils.safe_eval import safe_eval_lambda
+        self.iod_th_of_iou_f = safe_eval_lambda(iod_th_of_iou_f)
         cocofmt_param = dict(cocofmt_param or {})
         std = cocofmt_param.pop("evaluate_standard", "coco")
         self.params = Params(std)

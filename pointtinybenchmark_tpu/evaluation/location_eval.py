@@ -33,7 +33,8 @@ class LocationEvaluator:
         rec = location_param.get(
             "recThrs", np.linspace(.0, 1.00, 101))
         if isinstance(rec, str):
-            rec = eval(rec)  # noqa: S307 — config-surface parity ("np.linspace(...)")
+            from ..utils.safe_eval import safe_eval_expr
+            rec = safe_eval_expr(rec)
         self.rec_thrs = np.asarray(rec)
         self.max_dets = list(location_param.get("maxDets", [100]))
         self.add_center = add_center_from_bbox_if_no_point

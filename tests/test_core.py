@@ -296,3 +296,39 @@ def test_score_hlr_sampler_prefers_hard_negatives():
     # without scores -> uniform fallback still respects budget
     res = s.sample(jax.random.PRNGKey(0), assigned, labels)
     assert int(np.asarray(res.neg_mask).sum()) <= 48
+
+
+def test_safe_eval_whitelist():
+    """Config-string parser (replaces eval of config-supplied strings;
+    VERDICT r1 item 9): legit reference forms work, code execution raises."""
+    import numpy as np
+    import pytest
+    from pointtinybenchmark_tpu.utils.safe_eval import (safe_eval_expr,
+                                                        safe_eval_lambda)
+
+    f = safe_eval_lambda("lambda iou: iou")
+    assert f(0.35) == 0.35
+    f = safe_eval_lambda("lambda iou: (2 * iou) / (1 + iou)")
+    assert abs(f(0.5) - 2 / 3) < 1e-12
+    f = safe_eval_lambda("lambda iou: max(iou, 0.25)")
+    assert f(0.1) == 0.25
+
+    r = safe_eval_expr("np.linspace(.0, 1.00, 101)")
+    assert r.shape == (101,) and r[0] == 0.0 and r[-1] == 1.0
+    assert safe_eval_expr("1 + 2 * 3") == 7
+
+    for bad in [
+            "__import__('os').system('true')",
+            "lambda iou: __import__('os')",
+            "lambda iou: iou.__class__",
+            "open('/etc/passwd')",
+            "np.load('x')",
+            "lambda iou: (lambda: 1)()",
+            "[x for x in (1,)]",
+            "getattr(np, 'load')",
+    ]:
+        with pytest.raises((ValueError, SyntaxError)):
+            v = safe_eval_expr(bad) if "lambda" not in bad \
+                else safe_eval_lambda(bad)
+            if callable(v):
+                v(0.5)

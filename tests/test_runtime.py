@@ -204,3 +204,51 @@ def test_paramwise_cfg():
     r = (np.asarray(upd["backbone_m"]["conv1"]["kernel"])
          / np.asarray(upd["head"]["conv"]["kernel"]))
     np.testing.assert_allclose(r, 0.1, rtol=1e-5)
+
+
+def test_nan_step_skips_update_and_freezes_state():
+    """Per-step NaN guard (reference LogNanStopHook apis/train.py:177-203):
+    inject a NaN batch at step k; the in-graph update must be skipped so
+    params at stop equal params at step k-1, and the sticky nan_seen flag
+    must surface through metrics."""
+    import jax
+    import optax
+    import flax.linen as nn
+    from pointtinybenchmark_tpu.engine.train import make_train_step
+
+    class Toy(nn.Module):
+        def setup(self):
+            self.w = self.param("w", nn.initializers.ones, (3,))
+
+        def __call__(self, img, train=False):
+            return self.w.sum() * jnp.mean(img)
+
+        def forward_train(self, img, batch):
+            return {"loss_main": self.w.sum() * jnp.mean(img)}
+
+    model = Toy()
+    img = jnp.ones((1, 8, 8, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+    tx = optax.sgd(0.1)
+    state = dict(params=params, batch_stats={}, opt_state=tx.init(params),
+                 step=jnp.int32(0), nan_seen=jnp.bool_(False))
+    step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(1)
+
+    # two finite steps
+    state, m = step(state, {"img": img}, rng)
+    state, m = step(state, {"img": img}, rng)
+    assert not bool(m["nan_seen"])
+    w_before = np.asarray(state["params"]["w"]).copy()
+
+    # NaN step: update skipped, flag raised
+    nan_img = jnp.full_like(img, jnp.nan)
+    state, m = step(state, {"img": nan_img}, rng)
+    assert bool(m["nan_seen"])
+    assert not np.isfinite(float(m["loss"]))
+    np.testing.assert_array_equal(np.asarray(state["params"]["w"]), w_before)
+
+    # later finite steps do NOT update either (state frozen until host exit)
+    state, m = step(state, {"img": img}, rng)
+    assert bool(m["nan_seen"])
+    np.testing.assert_array_equal(np.asarray(state["params"]["w"]), w_before)
