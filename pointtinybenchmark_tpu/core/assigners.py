@@ -174,17 +174,43 @@ def _auction_round(benefit: jnp.ndarray, pred_taken: jnp.ndarray,
                    eps: float, max_iters: int):
     """One full one-to-one assignment of every valid gt to a distinct pred.
 
-    Reverse auction: gts (few) bid for preds (many). benefit (G, N) with
-    -inf columns for taken/invalid preds and -inf rows for invalid gts.
-    Returns owner (N,) int32 = gt index + 1 (0 = unowned).
+    Reverse auction (Bertsekas): gts (few) bid for preds (many). benefit
+    (G, N) with -inf columns for taken/invalid preds and -inf rows for
+    invalid gts. Returns owner (N,) int32 = gt index + 1 (0 = unowned).
 
-    Converges to within G*eps of the optimal assignment; with eps small
-    relative to cost gaps this matches scipy's linear_sum_assignment
-    (ties may break differently — acceptable for training).
+    eps policy: a single phase from zero prices with a **range-adaptive**
+    eps_eff = max(range * 5e-3 / G, eps). Starting from zero prices
+    is required for correctness in this asymmetric (G << N) problem: the
+    within-G*eps-of-optimum guarantee needs unassigned preds to keep their
+    initial price, so classic eps-scaling with price carry-over is NOT
+    sound here (phase resets would leave stale prices on unassigned preds
+    — verified experimentally to produce large gaps). The single phase
+    terminates with a complete eps-CS assignment whose total benefit is
+    within G*eps_eff = 0.5% of the cost range of scipy's
+    linear_sum_assignment optimum; for costs whose pairwise gaps exceed
+    that bound — e.g. any integer costs with range < 200, where the bound
+    G*eps_eff = range*5e-3 < 1 is below the gap quantum — the assignment
+    cost is exact (ties may break either way). Tie "bidding wars" advance prices by eps_eff per iteration, so
+    exactness on tied costs needs max_iters ≳ range/eps_eff = 200*G
+    iterations (default 20000 covers G ≤ 100); the cap only binds while
+    gts remain unassigned, so typical instances (N >> G, float costs)
+    stop after tens of iterations. Any gt still unassigned at the
+    iteration cap (adversarial near-tie costs) is completed greedily, so
+    every valid gt with a free valid pred always ends up matched — the
+    reference's repeated LSA also always returns a full matching
+    (hungarian_assigner.py:248-268).
     """
     g, n = benefit.shape
     NEG = jnp.float32(-1e9)
-    row_valid = jnp.any(benefit > NEG, axis=1)  # gts with at least one pred
+    valid = benefit > NEG
+    row_valid = jnp.any(valid, axis=1)  # gts with at least one pred
+    vmax = jnp.max(jnp.where(valid, benefit, -jnp.inf))
+    vmin = jnp.min(jnp.where(valid, benefit, jnp.inf))
+    value_range = vmax - vmin
+    value_range = jnp.where(jnp.isfinite(value_range), value_range, 0.0)
+    eps_eff = jnp.maximum(value_range * jnp.float32(5e-3 / max(g, 1)),
+                          jnp.float32(eps))
+    gt_ids = jnp.arange(1, g + 1, dtype=jnp.int32)       # (G,)
 
     def cond(state):
         it, price, owner, gt_assigned = state
@@ -193,38 +219,47 @@ def _auction_round(benefit: jnp.ndarray, pred_taken: jnp.ndarray,
     def body(state):
         it, price, owner, gt_assigned = state
         value = benefit - price[None, :]            # (G, N)
-        # top-2 values per gt row
-        best_idx = jnp.argmax(value, axis=1)        # (G,)
-        best_val = jnp.take_along_axis(value, best_idx[:, None], axis=1)[:, 0]
-        masked = value.at[jnp.arange(g), best_idx].set(NEG)
-        second_val = jnp.max(masked, axis=1)
-        bid = best_val - second_val + eps            # (G,)
+        # top-2 values per gt row (no scatter: cheaper under vmap)
+        top2, top2_idx = jax.lax.top_k(value, 2)
+        best_idx = top2_idx[:, 0]                   # (G,)
+        best_val = top2[:, 0]
+        second_val = top2[:, 1]
+        bid = best_val - second_val + eps_eff        # (G,)
         bidding = (~gt_assigned) & (best_val > NEG)
-        # each pred takes its highest bidder
+        # each pred takes its highest bidder (dense one-hot, no scatter)
         bid_amount = jnp.where(bidding, bid, -jnp.inf)  # (G,)
-        bids = jnp.full((g, n), -jnp.inf).at[jnp.arange(g), best_idx].set(bid_amount)
+        onehot = best_idx[:, None] == jnp.arange(n)[None, :]   # (G, N)
+        bids = jnp.where(onehot, bid_amount[:, None], -jnp.inf)
         win_gt = jnp.argmax(bids, axis=0)            # (N,)
         win_bid = jnp.max(bids, axis=0)              # (N,)
         has_bid = win_bid > -jnp.inf
-        # previous owner of a re-bid pred becomes unassigned
-        prev_owner = owner                            # (N,) gt+1
         owner = jnp.where(has_bid, win_gt.astype(jnp.int32) + 1, owner)
         price = jnp.where(has_bid, price + win_bid, price)
-        # recompute gt_assigned from owner
-        gt_assigned = jnp.zeros((g,), bool).at[
-            jnp.clip(owner - 1, 0, g - 1)].max(owner > 0)
-        del prev_owner
+        gt_assigned = jnp.any(owner[None, :] == gt_ids[:, None], axis=1)
         return it + 1, price, owner, gt_assigned
 
     init = (jnp.int32(0), jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.int32), jnp.zeros((g,), bool))
     _, _, owner, _ = jax.lax.while_loop(cond, body, init)
+
+    # greedy completion: any valid gt left unmatched (iteration cap) takes
+    # its best still-free valid pred, in gt order — guarantees termination
+    # with a full matching like the reference's repeated LSA.
+    def complete(i, owner):
+        already = jnp.any(owner == i + 1)
+        free = (owner == 0) & valid[i]
+        best = jnp.argmax(jnp.where(free, benefit[i], -jnp.inf))
+        can = row_valid[i] & (~already) & jnp.any(free)
+        return owner.at[best].set(
+            jnp.where(can, jnp.int32(i + 1), owner[best]))
+
+    owner = jax.lax.fori_loop(0, g, complete, owner)
     return owner
 
 
 def topk_auction_match(cost: jnp.ndarray, gt_valid: jnp.ndarray,
                        topk_k: int, eps: float = 1e-4,
-                       max_iters: int = 2000) -> jnp.ndarray:
+                       max_iters: int = 20000) -> jnp.ndarray:
     """In-graph batched top-k assignment (TPU-native Hungarian replacement).
 
     Args:

@@ -31,3 +31,112 @@ def test_center_region_smallest_gt_wins():
     assigned2, _, _ = a.assign(boxes, gt, jnp.asarray([True, False]),
                                jnp.asarray([0, 1]))
     assert int(assigned2[0]) == 1
+
+
+def test_auction_matcher_property_vs_scipy():
+    """VERDICT r1 item 8: eps-scaled auction vs exact LSA on 1k randomized
+    instances incl. adversarial ties/integer costs, G=N saturation, top-k
+    rounds, and empty-gt degeneracy. The auction's total cost must be
+    within G*eps of scipy's optimum (tie index choices may differ)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+    from pointtinybenchmark_tpu.core.assigners import (topk_auction_match,
+                                                       _topk_lsa_host)
+
+    match = jax.jit(topk_auction_match, static_argnames=("topk_k",))
+
+    def totals(cost, assigned):
+        # sum of cost[i, assigned[i]-1] over matched preds
+        b, n, g = cost.shape
+        out = np.zeros(b)
+        for bi in range(b):
+            m = assigned[bi] > 0
+            out[bi] = cost[bi, np.nonzero(m)[0], assigned[bi][m] - 1].sum()
+        return out
+
+    def scipy_topk(cost, topk_k):
+        b, n, g = cost.shape
+        tot = np.zeros(b)
+        cnt = np.zeros(b, int)
+        for bi in range(b):
+            avail = np.ones(n, bool)
+            for _ in range(topk_k):
+                idx = np.nonzero(avail)[0]
+                if len(idx) < 1:
+                    break
+                r, c = linear_sum_assignment(cost[bi, idx])
+                tot[bi] += cost[bi, idx[r], c].sum()
+                cnt[bi] += len(r)
+                avail[idx[r]] = False
+        return tot, cnt
+
+    rng = np.random.RandomState(7)
+    scen = [
+        # (B, N, G, topk_k, cost_gen).  Single-round (k=1) results must be
+        # within the documented G*eps_eff bound of scipy's optimum for ANY
+        # costs (incl. exact integer ties and the fully degenerate all-zero
+        # matrix); see _auction_round's eps policy.
+        (250, 24, 6, 1, lambda s: rng.rand(*s).astype(np.float32)),
+        (250, 16, 16, 1,
+         lambda s: rng.randint(0, 5, s).astype(np.float32)),   # ties, G=N
+        (250, 20, 5, 1, lambda s: np.zeros(s, np.float32)),    # degenerate
+        (250, 32, 8, 3, lambda s: rng.rand(*s).astype(np.float32)),
+    ]
+    for B, N, G, k, gen in scen:
+        cost = gen((B, N, G))
+        gv = np.ones((B, G), bool)
+        assigned = np.asarray(match(jnp.asarray(cost), jnp.asarray(gv),
+                                    topk_k=k))
+        # every valid gt gets exactly min over availability of k preds
+        for bi in range(min(B, 50)):
+            counts = np.bincount(assigned[bi], minlength=G + 1)[1:]
+            # all scenarios have G*k <= N: every gt gets exactly k preds
+            assert (counts == k).all(), (bi, counts)
+        got = totals(cost, assigned)
+        want, _ = scipy_topk(cost, k)
+        if k == 1:
+            # suboptimality bound: G*eps_eff = 0.5% of cost range
+            tol = float(cost.max() - cost.min()) * 5e-3 + 1e-3
+            assert (got <= want + tol).all(), (
+                f"suboptimal beyond bound: {np.max(got - want)}")
+            assert (got >= want - tol).all()  # cannot beat the optimum
+        else:
+            # k>1: sequential rounds are tie-unstable — when a round has a
+            # (near-)tied optimum, auction and scipy may keep different
+            # pred pools for later rounds, shifting totals in EITHER
+            # direction (the reference's own repeated LSA has the same
+            # instability). Require near-universal exactness plus a small
+            # bound on the rare divergent instances (deterministic seed).
+            d = np.abs(got - want)
+            assert (d < 1e-3).mean() >= 0.98, (d.mean(), d.max())
+            assert d.max() < 0.1, d.max()
+
+    # k>1 under adversarial exact integer ties: both algorithms remain
+    # valid tie realizations; divergence must stay rare and unbiased.
+    cost = rng.randint(0, 7, (250, 32, 8)).astype(np.float32)
+    assigned = np.asarray(match(jnp.asarray(cost),
+                                jnp.asarray(np.ones((250, 8), bool)),
+                                topk_k=3))
+    got = totals(cost, assigned)
+    want, _ = scipy_topk(cost, 3)
+    d = got - want
+    assert (np.abs(d) < 1e-3).mean() >= 0.8, (np.abs(d) < 1e-3).mean()
+    assert abs(d.mean()) < 0.2, d.mean()
+
+    # empty gt: nothing assigned
+    cost = rng.rand(4, 10, 5).astype(np.float32)
+    gv = np.zeros((4, 5), bool)
+    assigned = np.asarray(match(jnp.asarray(cost), jnp.asarray(gv), topk_k=2))
+    assert (assigned == 0).all()
+
+    # partially padded gts: only valid ones matched, host oracle agrees
+    gv = np.zeros((8, 6), bool)
+    gv[:, :3] = True
+    cost = rng.rand(8, 12, 6).astype(np.float32)
+    assigned = np.asarray(match(jnp.asarray(cost), jnp.asarray(gv), topk_k=2))
+    assert set(np.unique(assigned)) <= {0, 1, 2, 3}
+    host = _topk_lsa_host(cost, np.full(8, 3), np.full(8, 12), 2)
+    np.testing.assert_allclose(totals(cost, assigned).sum(),
+                               totals(cost, host).sum(), atol=0.02)
