@@ -139,6 +139,18 @@ class COCO:
                 results = json.load(f)
         anns = copy.deepcopy(results)
         for i, ann in enumerate(anns):
+            if "segmentation" in ann:
+                # pycocotools: segm results get mask area + mask-extent bbox
+                from ..evaluation.mask_utils import (ann_to_rle, rle_area,
+                                                     rle_to_bbox)
+                seg = ann["segmentation"]
+                if isinstance(seg, dict):
+                    rle = ann_to_rle(seg, *seg["size"])
+                else:
+                    info = self.imgs[ann["image_id"]]
+                    rle = ann_to_rle(seg, info["height"], info["width"])
+                ann.setdefault("area", float(rle_area(rle)))
+                ann.setdefault("bbox", rle_to_bbox(rle))
             bb = ann.get("bbox")
             if bb is not None and "area" not in ann:
                 ann["area"] = bb[2] * bb[3]

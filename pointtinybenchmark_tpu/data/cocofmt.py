@@ -17,6 +17,7 @@ into static-shape padded device batches.
 from __future__ import annotations
 
 import os.path as osp
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -238,6 +239,32 @@ class CocoFmtDataset:
                 json_results.append(det)
         return json_results
 
+    def format_segm_results(self, results: List[dict]) -> List[dict]:
+        """Segm json (reference coco.py:237-273 _segm2json): per-image
+        results must carry 'masks' (list of RLE dicts aligned with
+        'bboxes'), optionally 'mask_scores' (MaskScoring head)."""
+        json_results = []
+        for idx, res in enumerate(results):
+            img_id = self.img_ids[idx]
+            bboxes = np.asarray(res["bboxes"])
+            labels = np.asarray(res["labels"])
+            masks = res.get("masks", [])
+            mask_scores = res.get("mask_scores")
+            for i in range(min(len(bboxes), len(masks))):
+                score = (float(mask_scores[i]) if mask_scores is not None
+                         else float(bboxes[i][4]))
+                rle = dict(masks[i])
+                if isinstance(rle.get("counts"), bytes):
+                    rle["counts"] = rle["counts"].decode()
+                # no 'bbox' key: mask-extent bbox/area are derived by
+                # loadRes for accurate s/m/l mask AP (reference
+                # coco.py:449-460)
+                json_results.append(dict(
+                    image_id=int(img_id), score=score,
+                    category_id=int(self.cat_ids[int(labels[i])]),
+                    segmentation=rle))
+        return json_results
+
     def evaluate(self,
                  results: List[dict],
                  metric: str = "bbox",
@@ -277,20 +304,94 @@ class CocoFmtDataset:
             return ev(det_json, gt_coco)
 
         from ..evaluation.cocoeval import COCOExpandEval
-        ck = dict(cocofmt_kwargs or {})
-        cocofmt_param = dict(ck.pop("cocofmt_param", {}))
-        if iou_thrs is not None:
-            cocofmt_param.setdefault("iouThrs", list(iou_thrs))
-        if proposal_nums is not None:
-            pn = list(proposal_nums) if isinstance(proposal_nums, (list, tuple)) \
-                else [proposal_nums]
-            cocofmt_param.setdefault("maxDets", pn)
-        ev = COCOExpandEval(gt_coco, gt_coco.loadRes(det_json), "bbox",
-                            cocofmt_param=cocofmt_param, **ck)
-        ev.evaluate()
-        ev.accumulate()
-        ev.summarize()
-        return ev.stats_dict
+        metrics = metric if isinstance(metric, (list, tuple)) else [metric]
+        allowed = ("bbox", "segm", "proposal", "proposal_fast")
+        for m in metrics:
+            assert m in allowed, f"metric {m} is not supported"
+        pn = (list(proposal_nums) if isinstance(proposal_nums, (list, tuple))
+              else [proposal_nums]) if proposal_nums is not None else None
+
+        def build_param(extra_ck=None):
+            ck = dict(cocofmt_kwargs or {})
+            if extra_ck:
+                ck.update(extra_ck)
+            cocofmt_param = dict(ck.pop("cocofmt_param", {}))
+            if iou_thrs is not None:
+                cocofmt_param.setdefault("iouThrs", list(iou_thrs))
+            if pn is not None:
+                cocofmt_param.setdefault("maxDets", pn)
+            return ck, cocofmt_param
+
+        out: "OrderedDict[str, float]" = OrderedDict()
+        prefix_keys = len(metrics) > 1
+
+        def emit(m, stats):
+            for k, v in stats.items():
+                out[f"{m}_{k}" if prefix_keys else k] = v
+
+        for m in metrics:
+            if m == "proposal_fast":
+                # reference coco.py:432-441 fast_eval_recall
+                from ..evaluation.recall import eval_recalls
+                gts = []
+                for i in range(len(self.img_ids)):
+                    anns = gt_coco.load_anns(
+                        gt_coco.get_ann_ids(img_ids=[self.img_ids[i]]))
+                    boxes = [[a["bbox"][0], a["bbox"][1],
+                              a["bbox"][0] + a["bbox"][2],
+                              a["bbox"][1] + a["bbox"][3]] for a in anns
+                             if not (a.get("ignore") or a.get("iscrowd"))]
+                    gts.append(np.asarray(boxes, np.float32).reshape(-1, 4))
+                props = [np.asarray(r["bboxes"], np.float32).reshape(-1, 5)
+                         for r in results]
+                thrs = (np.asarray(iou_thrs) if iou_thrs is not None
+                        else np.arange(0.5, 0.96, 0.05))
+                ar = eval_recalls(gts, props, pn or [100, 300, 1000],
+                                  thrs).mean(axis=1)
+                for i, num in enumerate(pn or [100, 300, 1000]):
+                    out[f"AR@{num}"] = float(ar[i])
+                continue
+
+            if m == "segm":
+                segm_json = self.format_segm_results(results)
+                if not segm_json:
+                    get_root_logger().warning(
+                        "segm metric requested but results carry no masks")
+                    continue
+                ck, cocofmt_param = build_param()
+                ev = COCOExpandEval(gt_coco, gt_coco.loadRes(segm_json),
+                                    "segm", cocofmt_param=cocofmt_param,
+                                    **ck)
+                ev.evaluate()
+                ev.accumulate()
+                emit(m, ev.summarize())
+                continue
+
+            ck, cocofmt_param = build_param()
+            ev = COCOExpandEval(gt_coco, gt_coco.loadRes(det_json), "bbox",
+                                cocofmt_param=cocofmt_param, **ck)
+            if m == "proposal":
+                # class-agnostic AR (reference coco.py:494-507: useCats=0)
+                ev.params.useCats = 0
+                ev.evaluate()
+                ev.accumulate()
+                ev.summarize()
+                for md in ev.params.maxDets:
+                    out[f"AR@{md}"] = ev._summarize(0, None, "all", md)
+                for lbl in ev.params.areaRngLbl[1:]:
+                    out[f"AR_{lbl}@{ev.params.maxDets[-1]}"] = \
+                        ev._summarize(0, None, lbl, ev.params.maxDets[-1])
+                continue
+            ev.evaluate()
+            ev.accumulate()
+            stats = ev.summarize()
+            if classwise:
+                names = [c.get("name", str(cid)) for cid, c in
+                         sorted(gt_coco.cats.items())]
+                for n, ap in ev.classwise_summary(names).items():
+                    stats[f"classwise_{n}"] = ap
+            emit(m, stats)
+        return out
 
 
 @DATASETS.register_module()

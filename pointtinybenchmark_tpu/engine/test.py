@@ -26,11 +26,22 @@ __all__ = ["run_test", "run_tiled_test", "run_tta_test",
 
 
 def _to_result(bboxes: np.ndarray, labels: np.ndarray, valid: np.ndarray,
-               points: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+               points: Optional[np.ndarray] = None,
+               mask_crops: Optional[np.ndarray] = None,
+               ori_shape=None) -> Dict[str, np.ndarray]:
     keep = valid.astype(bool)
     out = dict(bboxes=bboxes[keep], labels=labels[keep])
     if points is not None:
         out["points"] = points[keep]
+    if mask_crops is not None and ori_shape is not None:
+        # paste the (M, s, s) probability crops into full-image binary
+        # masks and RLE-encode (reference FCNMaskHead.get_seg_masks +
+        # _segm2json; boxes are already in the original-image frame)
+        from ..evaluation.mask_utils import paste_masks, rle_encode
+        h, w = int(ori_shape[0]), int(ori_shape[1])
+        full = paste_masks(np.asarray(mask_crops[keep], np.float32),
+                           out["bboxes"][:, :4], h, w)
+        out["masks"] = [rle_encode(m) for m in full]
     return out
 
 
@@ -59,13 +70,20 @@ def run_test(model, state, dataset, collator, batch_size: int = 1,
         dets, pts = infer(jnp.asarray(batch["img"]),
                           jnp.asarray(batch["img_shape"]),
                           jnp.asarray(batch["scale_factor"]))
+        masks = None
+        if isinstance(dets, tuple):  # mask roi_heads return (dets, crops)
+            dets, masks = dets
+            masks = np.asarray(masks)
         db = np.asarray(dets.bboxes)
         dl = np.asarray(dets.labels)
         dv = np.asarray(dets.valid)
         dp = np.asarray(pts) if pts is not None else None
         for i in range(len(flat)):
-            results.append(_to_result(db[i], dl[i], dv[i],
-                                      dp[i] if dp is not None else None))
+            ori = flat[i].get("img_metas", {}).get(
+                "ori_shape", flat[i]["img"].shape[:2])
+            results.append(_to_result(
+                db[i], dl[i], dv[i], dp[i] if dp is not None else None,
+                masks[i] if masks is not None else None, ori))
         if (start // batch_size) % 50 == 0:
             logger.info("test %d/%d", start + len(flat), n)
     return results

@@ -86,7 +86,10 @@ class COCOExpandEval:
                  use_iod_for_ignore: bool = False,
                  iod_th_of_iou_f: str = "lambda iou: iou",
                  cocofmt_param: Optional[dict] = None):
-        assert iouType == "bbox"
+        # bbox: IoU on boxes; segm: IoU on RLE masks (pycocotools parity,
+        # reference mmdet/datasets/coco.py:373-460 dispatch)
+        assert iouType in ("bbox", "segm"), iouType
+        self.iouType = iouType
         self.cocoGt = cocoGt
         self.cocoDt = cocoDt
         self.ignore_uncertain = ignore_uncertain
@@ -126,23 +129,31 @@ class COCOExpandEval:
             # use_ignore_attr is on
             gt["_crowd_like"] = int(bool(gt.get("iscrowd", 0) or (
                 self.use_ignore_attr and ignore)))
-            self._gts[gt["image_id"], gt["category_id"]].append(gt)
+            cat = gt["category_id"] if p.useCats else -1
+            self._gts[gt["image_id"], cat].append(gt)
         for dt in dts:
-            self._dts[dt["image_id"], dt["category_id"]].append(dict(dt))
+            cat = dt["category_id"] if p.useCats else -1
+            self._dts[dt["image_id"], cat].append(dict(dt))
+
+    def _cat_keys(self):
+        """Effective category keys: real cats, or the class-agnostic -1
+        bucket when useCats=0 (proposal metric, pycocotools parity)."""
+        return self.params.catIds if self.params.useCats else [-1]
 
     # ------------------------------------------------------------ evaluate
     def evaluate(self):
         self._prepare()
         p = self.params
+        cats = self._cat_keys()
         self.ious = {
             (img_id, cat_id): self._compute_iou(img_id, cat_id)
-            for img_id in p.imgIds for cat_id in p.catIds
+            for img_id in p.imgIds for cat_id in cats
         }
         max_det = p.maxDets[-1]
         self.evalImgs = {
             (img_id, cat_id, a): self._evaluate_img(img_id, cat_id,
                                                     p.areaRng[a], max_det)
-            for img_id in p.imgIds for cat_id in p.catIds
+            for img_id in p.imgIds for cat_id in cats
             for a in range(len(p.areaRng))
         }
 
@@ -152,12 +163,19 @@ class COCOExpandEval:
         if len(gt) == 0 or len(dt) == 0:
             return np.zeros((len(dt), len(gt)))
         dt = sorted(dt, key=lambda d: -d["score"])[:self.params.maxDets[-1]]
-        d = np.asarray([x["bbox"] for x in dt], float)
-        g = np.asarray([x["bbox"] for x in gt], float)
         iod_cols = np.asarray(
             [bool(x["_crowd_like"]) and self.use_iod_for_ignore for x in gt])
         # plain iscrowd always uses IoD (pycocotools semantics)
         crowd_cols = np.asarray([bool(x.get("iscrowd", 0)) for x in gt])
+        if self.iouType == "segm":
+            from .mask_utils import ann_to_rle, mask_iou
+            info = self.cocoGt.load_imgs([img_id])[0]
+            h, w = info["height"], info["width"]
+            g_rle = [ann_to_rle(x["segmentation"], h, w) for x in gt]
+            d_rle = [ann_to_rle(x["segmentation"], h, w) for x in dt]
+            return mask_iou(d_rle, g_rle, iod_cols | crowd_cols)
+        d = np.asarray([x["bbox"] for x in dt], float)
+        g = np.asarray([x["bbox"] for x in gt], float)
         return _bbox_iou_matrix(d, g, iod_cols | crowd_cols)
 
     def _evaluate_img(self, img_id, cat_id, a_rng, max_det):
@@ -257,8 +275,11 @@ class COCOExpandEval:
                          dtm, gtm, gt_ig, dt_ig):
         T = dtm.shape[0]
         # dets outside the area range that matched nothing are ignored
-        a = np.asarray([d["bbox"][2] * d["bbox"][3] < a_rng[0]
-                        or d["bbox"][2] * d["bbox"][3] > a_rng[1]
+        # (area = mask area for segm results, loadRes computes it)
+        def _darea(d):
+            return d.get("area", d["bbox"][2] * d["bbox"][3]
+                         if "bbox" in d else 0.0)
+        a = np.asarray([_darea(d) < a_rng[0] or _darea(d) > a_rng[1]
                         for d in dt])
         if len(dt):
             dt_ig = np.logical_or(dt_ig, np.logical_and(
@@ -278,13 +299,13 @@ class COCOExpandEval:
         p = self.params
         T = len(p.iouThrs)
         R = len(p.recThrs)
-        K = len(p.catIds)
+        K = len(self._cat_keys())
         A = len(p.areaRng)
         M = len(p.maxDets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
         scores = -np.ones((T, R, K, A, M))
-        for k, cat_id in enumerate(p.catIds):
+        for k, cat_id in enumerate(self._cat_keys()):
             for a in range(A):
                 E = [self.evalImgs.get((img_id, cat_id, a))
                      for img_id in p.imgIds]
