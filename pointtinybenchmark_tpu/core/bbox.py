@@ -161,7 +161,13 @@ def bbox_mapping_tile(bboxes: jnp.ndarray, tile_offset: jnp.ndarray,
     """
     off = jnp.concatenate([tile_offset, tile_offset])  # (4,)
     shifted = bboxes - off
-    clipped = bbox_clip(shifted, tile_shape)
+    # fork clamps to (w-1, h-1), not (w, h) — transforms.py:52-55
+    th, tw = tile_shape[0], tile_shape[1]
+    clipped = jnp.stack([
+        jnp.clip(shifted[..., 0], 0, tw - 1),
+        jnp.clip(shifted[..., 1], 0, th - 1),
+        jnp.clip(shifted[..., 2], 0, tw - 1),
+        jnp.clip(shifted[..., 3], 0, th - 1)], axis=-1)
     w = clipped[..., 2] - clipped[..., 0]
     h = clipped[..., 3] - clipped[..., 1]
     valid = (w >= min_size) & (h >= min_size)

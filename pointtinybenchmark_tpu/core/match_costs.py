@@ -66,12 +66,24 @@ class ClassificationCostV2:
 
 @MATCH_COSTS.register_module()
 class BBoxL1Cost:
-    def __init__(self, weight=1.0, box_format="xyxy"):
+    """L1 cdist cost (reference match_cost.py:9-51): bbox_pred arrives in
+    normalized cxcywh (DETR convention); unless same_fmt, it is converted
+    to xyxy ('xyxy' format) or the gt converted to cxcywh ('xywh')."""
+
+    def __init__(self, weight=1.0, box_format="xyxy", same_fmt=False):
+        assert box_format in ("xyxy", "xywh")
         self.weight = weight
         self.box_format = box_format
+        self.same_fmt = same_fmt
 
     def __call__(self, bbox_pred: jnp.ndarray, gt_bboxes: jnp.ndarray,
                  img_meta=None) -> jnp.ndarray:
+        if not self.same_fmt:
+            from .bbox import cxcywh2xyxy, xyxy2cxcywh
+            if self.box_format == "xywh":
+                gt_bboxes = xyxy2cxcywh(gt_bboxes)
+            else:
+                bbox_pred = cxcywh2xyxy(bbox_pred)
         cost = jnp.sum(jnp.abs(bbox_pred[:, None, :] - gt_bboxes[None, :, :]), axis=-1)
         return cost * self.weight
 

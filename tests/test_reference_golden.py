@@ -1,0 +1,348 @@
+"""Golden numeric parity vs the REFERENCE torch implementation
+(VERDICT r1 item 3): the reference's pure-torch files are exec'd with
+stubbed imports (tests/reference_loader.py) and their outputs compared
+against our JAX reimplementations on randomized inputs at 1e-5 tolerance.
+"""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "tests")
+import reference_loader as R  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+RNG = np.random.RandomState(0)
+
+
+def rand_boxes(n, lo=0, hi=100, min_wh=1.0):
+    xy = RNG.rand(n, 2) * (hi - lo - 30) + lo
+    wh = RNG.rand(n, 2) * 25 + min_wh
+    return np.concatenate([xy, xy + wh], -1).astype(np.float32)
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def close(ours, ref, atol=1e-5, rtol=1e-5):
+    np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy()
+                               if torch.is_tensor(ref) else ref,
+                               atol=atol, rtol=rtol)
+
+
+# --------------------------------------------------------------- delta coder
+def test_delta_coder_golden():
+    from pointtinybenchmark_tpu.core.bbox import bbox2delta, delta2bbox
+    ref = R.ref_delta_coder()
+    rois = rand_boxes(64)
+    gts = rand_boxes(64)
+    means = (0.1, -0.1, 0.0, 0.05)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    close(bbox2delta(jnp.asarray(rois), jnp.asarray(gts), means, stds),
+          ref.bbox2delta(t(rois), t(gts), means, stds))
+    deltas = (RNG.rand(64, 4).astype(np.float32) - 0.5) * 4
+    close(delta2bbox(jnp.asarray(rois), jnp.asarray(deltas), means, stds,
+                     max_shape=(90, 110)),
+          ref.delta2bbox(t(rois), t(deltas), means, stds,
+                         max_shape=(90, 110)))
+    # extreme deltas exercise the wh_ratio_clip
+    deltas = (RNG.rand(64, 4).astype(np.float32) - 0.5) * 30
+    close(delta2bbox(jnp.asarray(rois), jnp.asarray(deltas)),
+          ref.delta2bbox(t(rois), t(deltas)), atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------- tblr coder
+def test_tblr_coder_golden():
+    from pointtinybenchmark_tpu.core.bbox import bbox2tblr, tblr2bbox
+    ref = R.ref_tblr_coder()
+    priors = rand_boxes(64)
+    gts = rand_boxes(64)
+    for norm_wh in (True, False):
+        close(bbox2tblr(jnp.asarray(priors), jnp.asarray(gts), 4.0, norm_wh),
+              ref.bboxes2tblr(t(priors), t(gts), normalizer=4.0,
+                              normalize_by_wh=norm_wh))
+        enc = RNG.rand(64, 4).astype(np.float32)
+        close(tblr2bbox(jnp.asarray(priors), jnp.asarray(enc), 4.0, norm_wh),
+              ref.tblr2bboxes(t(priors), t(enc), normalizer=4.0,
+                              normalize_by_wh=norm_wh))
+
+
+# ----------------------------------------------------------- bucketing coder
+def test_bucketing_coder_golden():
+    from pointtinybenchmark_tpu.core.bbox import bbox2bucket, bucket2bbox
+    ref = R.ref_bucketing_coder()
+    props = rand_boxes(32, min_wh=8.0)
+    gts = props + (RNG.rand(32, 4).astype(np.float32) - 0.5) * 6
+    num_buckets, scale = 14, 3.0
+    offs, offw, labels, clsw = bbox2bucket(
+        jnp.asarray(props), jnp.asarray(gts), num_buckets, scale)
+    r_offs, r_offw, r_lab, r_clsw = ref.bbox2bucket(
+        t(props), t(gts), num_buckets, scale)
+    close(offs, r_offs, atol=1e-4, rtol=1e-4)
+    close(offw, r_offw)
+    close(labels, r_lab.float())
+    close(clsw, r_clsw)
+
+    side = int(np.ceil(num_buckets / 2.0))
+    cls_preds = RNG.rand(32, 4 * side).astype(np.float32)
+    off_preds = (RNG.rand(32, 4 * side).astype(np.float32) - 0.5)
+    boxes, conf = bucket2bbox(jnp.asarray(props), jnp.asarray(cls_preds),
+                              jnp.asarray(off_preds), num_buckets, scale,
+                              max_shape=(100, 100))
+    r_boxes, r_conf = ref.bucket2bbox(t(props), t(cls_preds), t(off_preds),
+                                      num_buckets, scale,
+                                      max_shape=(100, 100))
+    close(boxes, r_boxes, atol=1e-4, rtol=1e-4)
+    close(conf, r_conf, atol=1e-5)
+
+
+# ------------------------------------------------------- transforms (tiling)
+def test_bbox_transforms_golden():
+    from pointtinybenchmark_tpu.core.bbox import (bbox_flip,
+                                                  bbox_mapping_back_tile,
+                                                  cxcywh2xyxy, xyxy2cxcywh)
+    ref = R.ref_transforms()
+    boxes = rand_boxes(40)
+    shape = (120, 160)
+    for d in ("horizontal", "vertical"):
+        close(bbox_flip(jnp.asarray(boxes), shape, d),
+              ref.bbox_flip(t(boxes), shape, d))
+    # tile mapping back: + (dx, dy) then inverse flip/scale in the reference;
+    # with flip=False, scale=1 it's the pure offset add
+    off = np.array([32.0, 48.0], np.float32)
+    close(bbox_mapping_back_tile(jnp.asarray(boxes), jnp.asarray(off)),
+          ref.bbox_mapping_back(t(boxes), shape, 1.0, False, "horizontal",
+                                (32.0, 48.0)))
+    close(xyxy2cxcywh(jnp.asarray(boxes)), ref.bbox_xyxy_to_cxcywh(t(boxes)))
+    cxcy = RNG.rand(40, 4).astype(np.float32) * 50 + 10
+    close(cxcywh2xyxy(jnp.asarray(cxcy)), ref.bbox_cxcywh_to_xyxy(t(cxcy)))
+    # distance2bbox both directions
+    from pointtinybenchmark_tpu.core.bbox import bbox2distance, distance2bbox
+    pts = RNG.rand(40, 2).astype(np.float32) * 100
+    dist = RNG.rand(40, 4).astype(np.float32) * 20
+    close(distance2bbox(jnp.asarray(pts), jnp.asarray(dist), (120, 160)),
+          ref.distance2bbox(t(pts), t(dist), (120, 160)))
+    close(bbox2distance(jnp.asarray(pts), jnp.asarray(boxes), 16.0),
+          ref.bbox2distance(t(pts), t(boxes), 16.0))
+
+
+def test_tile_mapping_roundtrip_vs_reference_forward():
+    """bbox_mapping with a tile offset (fork transforms.py:45-58): subtract
+    offset + clip; the reference then drops <2px boxes — ours flags them."""
+    from pointtinybenchmark_tpu.core.bbox import bbox_mapping_tile
+    ref = R.ref_transforms()
+    boxes = rand_boxes(60)
+    shape = (64, 64)  # small tile so some boxes clip away
+    mapped, valid = bbox_mapping_tile(jnp.asarray(boxes),
+                                      jnp.asarray([20.0, 30.0]), shape)
+    r = ref.bbox_mapping(t(boxes), (64, 64, 3), 1.0, False, "horizontal",
+                         (20.0, 30.0))
+    ours_kept = np.asarray(mapped)[np.asarray(valid)]
+    np.testing.assert_allclose(ours_kept, r.numpy(), atol=1e-5)
+
+
+# ----------------------------------------------------------------------- iou
+def test_bbox_overlaps_golden():
+    from pointtinybenchmark_tpu.ops.iou import bbox_overlaps
+    ref = R.ref_iou()
+    a = rand_boxes(30)
+    b = rand_boxes(20)
+    for mode in ("iou", "iof", "giou"):
+        close(bbox_overlaps(jnp.asarray(a), jnp.asarray(b), mode=mode),
+              ref.bbox_overlaps(t(a), t(b), mode=mode), atol=1e-5)
+    # aligned
+    close(bbox_overlaps(jnp.asarray(a[:20]), jnp.asarray(b), mode="iou",
+                        is_aligned=True)
+          if "is_aligned" in bbox_overlaps.__code__.co_varnames else
+          jnp.diag(bbox_overlaps(jnp.asarray(a[:20]), jnp.asarray(b))),
+          ref.bbox_overlaps(t(a[:20]), t(b), mode="iou", is_aligned=True))
+
+
+# --------------------------------------------------------------- match costs
+def test_match_costs_golden():
+    from pointtinybenchmark_tpu.core import match_costs as MC
+    ref = R.ref_match_costs()
+    n, g, c = 50, 7, 4
+    logits = (RNG.rand(n, c).astype(np.float32) - 0.5) * 6
+    labels = RNG.randint(0, c, g)
+    close(MC.FocalLossCost(weight=2.0)(jnp.asarray(logits),
+                                       jnp.asarray(labels)),
+          ref.FocalLossCost(weight=2.0)(t(logits), t(labels)))
+    close(MC.ClassificationCost(weight=1.5)(jnp.asarray(logits),
+                                            jnp.asarray(labels)),
+          ref.ClassificationCost(weight=1.5)(t(logits), t(labels)))
+    pred_pts = RNG.rand(n, 2).astype(np.float32) * 100
+    gt_pts = RNG.rand(g, 2).astype(np.float32) * 100
+    meta = {"img_shape": (120, 160, 3)}
+    for norm in (True, False):
+        close(MC.DisCostV2(weight=0.3, norm_with_img_wh=norm)(
+                  jnp.asarray(pred_pts), jnp.asarray(gt_pts), meta),
+              ref.DisCostV2(weight=0.3, norm_with_img_wh=norm)(
+                  t(pred_pts), t(gt_pts), meta))
+    boxes_n = rand_boxes(n)
+    boxes_g = rand_boxes(g)
+    close(MC.IoUCost(iou_mode="giou", weight=2.0)(jnp.asarray(boxes_n),
+                                                  jnp.asarray(boxes_g)),
+          ref.IoUCost(iou_mode="giou", weight=2.0)(t(boxes_n), t(boxes_g)),
+          atol=1e-5)
+    # BBoxL1Cost operates on normalized cxcywh in the reference
+    nb_n = (RNG.rand(n, 4).astype(np.float32))
+    nb_g = (RNG.rand(g, 4).astype(np.float32))
+    close(MC.BBoxL1Cost(weight=1.0)(jnp.asarray(nb_n), jnp.asarray(nb_g)),
+          ref.BBoxL1Cost(weight=1.0)(t(nb_n), t(nb_g)))
+
+
+# ------------------------------------------------------------------- MILLoss
+@pytest.mark.parametrize("binary_ins", [False, True])
+def test_mil_loss_golden(binary_ins):
+    from pointtinybenchmark_tpu.models.losses.mil_loss import MILLoss
+    ref = R.ref_mil_loss()
+    B, N, C = 6, 12, 3
+    k = 2 if binary_ins else 1
+    cls_prob = RNG.rand(B, N, C).astype(np.float32)
+    ins_outs = (RNG.rand(B, N, C * k).astype(np.float32) - 0.5) * 4
+    labels = RNG.randint(0, C, B)
+    valid = (RNG.rand(B, N, 1) > 0.3).astype(np.float32)
+    valid[:, 0] = 1.0  # every bag keeps at least one point
+
+    ours = MILLoss(binary_ins=binary_ins)
+    loss, acc, ns = ours(jnp.asarray(cls_prob), jnp.asarray(ins_outs),
+                         jnp.asarray(labels), jnp.asarray(valid))
+    rloss, racc, rns = ref.MILLoss(binary_ins=binary_ins)(
+        t(cls_prob), t(ins_outs), t(labels).long(), t(valid))
+    np.testing.assert_allclose(float(loss), float(rloss), atol=1e-5,
+                               rtol=1e-5)
+    assert float(ns) == float(rns)
+
+
+def test_gfocal_formula_golden():
+    from pointtinybenchmark_tpu.models.losses.mil_loss import MILLoss
+    ref = R.ref_mil_loss()
+    p = RNG.rand(8, 5).astype(np.float32)
+    q = (RNG.rand(8, 5) > 0.5).astype(np.float32)
+    close(MILLoss().gfocal_loss(jnp.asarray(p), jnp.asarray(q)),
+          ref.MILLoss().gfocal_loss(t(p), t(q)))
+
+
+# --------------------------------------------------------------- Scale Match
+def test_scale_match_distribute_golden():
+    from pointtinybenchmark_tpu.data.scale_match import get_distribute
+    ref = R.ref_scale_match()
+    annos = [dict(bbox=[0, 0, float(w), float(h)], iscrowd=0, ignore=0)
+             for w, h in (RNG.rand(500, 2) * 60 + 1)]
+    for use_log in (False, True):
+        c, s = get_distribute(annos, bins=40, except_rate=0.1,
+                              use_log_bins=use_log)
+        rc, rs = ref.ScaleMatch._get_distribute(annos, bins=40,
+                                                except_rate=0.1,
+                                                use_log_bins=use_log)
+        np.testing.assert_allclose(c, rc, atol=1e-7)
+        np.testing.assert_allclose(s, rs, atol=1e-5)
+    # no outlier clipping
+    c, s = get_distribute(annos, bins=25, except_rate=0)
+    rc, rs = ref.ScaleMatch._get_distribute(annos, bins=25, except_rate=0)
+    np.testing.assert_allclose(c, rc, atol=1e-7)
+    np.testing.assert_allclose(s, rs, atol=1e-5)
+
+
+# ---------------------------------------------- COCOeval oracle cross-check
+def _synthetic_coco(seed, n_imgs=8, n_cats=3, crowd_rate=0.15,
+                    ignore_rate=0.1):
+    rng = np.random.RandomState(seed)
+    images, anns = [], []
+    ann_id = 1
+    for i in range(n_imgs):
+        images.append(dict(id=i + 1, file_name=f"i{i}.jpg", width=200,
+                           height=200))
+        for _ in range(rng.randint(1, 8)):
+            x, y = rng.rand(2) * 150
+            w, h = rng.rand(2) * 40 + 3
+            anns.append(dict(id=ann_id, image_id=i + 1,
+                             category_id=int(rng.randint(1, n_cats + 1)),
+                             bbox=[float(x), float(y), float(w), float(h)],
+                             area=float(w * h),
+                             iscrowd=int(rng.rand() < crowd_rate),
+                             ignore=int(rng.rand() < ignore_rate)))
+            ann_id += 1
+    gt = dict(images=images, annotations=anns,
+              categories=[dict(id=c + 1, name=f"c{c}")
+                          for c in range(n_cats)])
+    dets = []
+    for a in anns:  # jittered copies of gts + spurious dets
+        if rng.rand() < 0.8:
+            x, y, w, h = a["bbox"]
+            j = (rng.rand(4) - 0.5) * 8
+            dets.append(dict(image_id=a["image_id"],
+                             category_id=a["category_id"],
+                             bbox=[float(x + j[0]), float(y + j[1]),
+                                   float(max(w + j[2], 2)),
+                                   float(max(h + j[3], 2))],
+                             score=float(rng.rand())))
+    for _ in range(25):
+        x, y = rng.rand(2) * 150
+        w, h = rng.rand(2) * 30 + 3
+        dets.append(dict(image_id=int(rng.randint(1, n_imgs + 1)),
+                         category_id=int(rng.randint(1, n_cats + 1)),
+                         bbox=[float(x), float(y), float(w), float(h)],
+                         score=float(rng.rand())))
+    return gt, dets
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cocoeval_vs_pycocotools_oracle(seed):
+    """Our COCOExpandEval with extensions OFF must match the canonical
+    pycocotools algorithm (oracle_cocoeval.py) on randomized datasets with
+    crowd + ignore anns — precision/recall arrays elementwise."""
+    from oracle_cocoeval import OracleCOCOeval
+    from pointtinybenchmark_tpu.data.coco import COCO
+    from pointtinybenchmark_tpu.evaluation.cocoeval import COCOExpandEval
+
+    gt_json, dets = _synthetic_coco(seed)
+    coco_gt = COCO(gt_json)
+    coco_dt = coco_gt.loadRes(dets)
+
+    ours = COCOExpandEval(coco_gt, coco_dt, "bbox",
+                          cocofmt_param=dict(evaluate_standard="coco"))
+    ours.evaluate()
+    ours.accumulate()
+    ours.summarize()
+
+    p = ours.params
+    oracle = OracleCOCOeval(coco_gt, coco_dt, p.iouThrs, p.recThrs,
+                            p.maxDets, p.areaRng)
+    oracle.evaluate()
+    oracle.accumulate()
+
+    np.testing.assert_allclose(ours.eval["precision"], oracle.precision,
+                               atol=1e-10)
+    np.testing.assert_allclose(ours.eval["recall"], oracle.recall,
+                               atol=1e-10)
+
+
+def test_cocoeval_vs_oracle_class_agnostic():
+    """useCats=0 (proposal AR path) against the oracle."""
+    from oracle_cocoeval import OracleCOCOeval
+    from pointtinybenchmark_tpu.data.coco import COCO
+    from pointtinybenchmark_tpu.evaluation.cocoeval import COCOExpandEval
+
+    gt_json, dets = _synthetic_coco(7)
+    coco_gt = COCO(gt_json)
+    coco_dt = coco_gt.loadRes(dets)
+    ours = COCOExpandEval(coco_gt, coco_dt, "bbox",
+                          cocofmt_param=dict(evaluate_standard="coco"))
+    ours.params.useCats = 0
+    ours.evaluate()
+    ours.accumulate()
+    p = ours.params
+    oracle = OracleCOCOeval(coco_gt, coco_dt, p.iouThrs, p.recThrs,
+                            p.maxDets, p.areaRng, useCats=0)
+    oracle.evaluate()
+    oracle.accumulate()
+    np.testing.assert_allclose(ours.eval["precision"], oracle.precision,
+                               atol=1e-10)
+    np.testing.assert_allclose(ours.eval["recall"], oracle.recall,
+                               atol=1e-10)
