@@ -412,18 +412,76 @@ class LVISDataset(CocoFmtDataset):
                 info["filename"] = info["file_name"]
         return infos
 
+    def evaluate(self, results, metric="bbox", logger=None, iou_thrs=None,
+                 proposal_nums=300, classwise=False,
+                 save_result_file=None, **kwargs):
+        """LVIS protocol (reference lvis.py:308-417 via the lvis-api):
+        federated filtering + not-exhaustive ignore + APr/APc/APf at
+        maxDets=300 — see evaluation/lvis_eval.py."""
+        import json
+        from ..evaluation.lvis_eval import LVISExpandEval
+
+        metrics = metric if isinstance(metric, (list, tuple)) else [metric]
+        out = OrderedDict()
+        prefix = len(metrics) > 1
+        max_det = (proposal_nums[-1] if isinstance(proposal_nums,
+                                                   (list, tuple))
+                   else int(proposal_nums))
+        for m in metrics:
+            if m == "segm":
+                res_json = self.format_segm_results(results)
+            else:
+                res_json = self.format_results(results)
+            if save_result_file and m == metrics[0]:
+                with open(save_result_file, "w") as f:
+                    json.dump(res_json, f)
+            cocofmt_param = {}
+            if iou_thrs is not None:
+                cocofmt_param["iouThrs"] = list(iou_thrs)
+            ev = LVISExpandEval(self.coco, self.coco.loadRes(res_json),
+                                "segm" if m == "segm" else "bbox",
+                                max_dets=max_det,
+                                cocofmt_param=cocofmt_param)
+            if m == "proposal":
+                ev.params.useCats = 0
+            ev.evaluate()
+            ev.accumulate()
+            stats = ev.summarize()
+            for k, v in stats.items():
+                out[f"{m}_{k}" if prefix else k] = v
+        return out
+
 
 @DATASETS.register_module()
 class CityscapesDataset(CocoFmtDataset):
     """Cityscapes instances in COCO format (reference
-    mmdet/datasets/cityscapes.py — fixed 8-class palette; COCO-style
-    evaluation path; the cityscapesscripts mAP protocol is not ported)."""
+    mmdet/datasets/cityscapes.py — fixed 8-class palette). COCO-style
+    bbox/segm/proposal metrics run natively; the cityscapesscripts
+    instance-level mAP protocol (reference cityscapes.py:207) requires the
+    external `cityscapesscripts` package, which is not in this image — the
+    `metric='cityscapes'` path is gated with an actionable error."""
     CLASSES = ("person", "rider", "car", "truck", "bus", "train",
                "motorcycle", "bicycle")
 
     def __init__(self, *args, **kwargs):
         kwargs.setdefault("classes", list(self.CLASSES))
         super().__init__(*args, **kwargs)
+
+    def evaluate(self, results, metric="bbox", **kwargs):
+        metrics = metric if isinstance(metric, (list, tuple)) else [metric]
+        if "cityscapes" in metrics:
+            try:
+                import cityscapesscripts  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "metric='cityscapes' needs the cityscapesscripts "
+                    "package (pip install cityscapesscripts); use "
+                    "metric='bbox'/'segm' for the native COCO-protocol "
+                    "evaluation instead") from e
+            metrics = [m for m in metrics if m != "cityscapes"]
+        if not metrics:
+            return OrderedDict()
+        return super().evaluate(results, metric=list(metrics), **kwargs)
 
 
 @DATASETS.register_module()

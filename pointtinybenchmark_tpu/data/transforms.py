@@ -719,17 +719,76 @@ class Collect:
 
 @PIPELINES.register_module()
 class Albu:
-    """Gated stand-in for the albumentations bridge (mmdet datasets/
-    pipelines/transforms.py Albu). The `albumentations` package is not in
-    this image; configs that request it fail fast with a clear message
-    instead of at some random point inside the worker."""
+    """Albumentations bridge (mmdet pipelines/transforms.py:1297) backed by
+    NATIVE reimplementations of the transforms the reference configs use
+    (data/albu_native.py) — the external `albumentations` package is not
+    needed. Supports the reference albu_example set (ShiftScaleRotate with
+    exact box/mask warping, RandomBrightnessContrast, RGBShift,
+    HueSaturationValue, JpegCompression, ChannelShuffle, Blur, MedianBlur,
+    OneOf, flips); any other transform type raises an actionable error at
+    build time. `bbox_params.filter_lost_elements` + `min_visibility` drop
+    boxes that the geometry pushed (mostly) out of the image, matching the
+    bridge's post-filter."""
 
-    def __init__(self, *args, **kwargs):
-        raise ImportError(
-            "Albu requires the external `albumentations` package, which is "
-            "not available in this environment. Use the built-in "
-            "PhotoMetricDistortion / AutoAugment / CutOut transforms "
-            "instead, or install albumentations and replace this stub.")
+    def __init__(self, transforms, bbox_params=None, keymap=None,
+                 update_pad_shape=False, skip_img_without_anno=False):
+        from .albu_native import NATIVE_ALBU_OPS
+
+        self.transforms = [dict(t) for t in transforms]
+        for t in self.transforms:  # validate at build time
+            types = [t["type"]] if t["type"] != "OneOf" else \
+                [c["type"] for c in t["transforms"]]
+            for tt in types:
+                if tt not in NATIVE_ALBU_OPS and tt not in (
+                        "HorizontalFlip", "VerticalFlip", "OneOf"):
+                    raise ValueError(
+                        f"Albu transform {tt!r} has no native "
+                        f"implementation (supported: "
+                        f"{sorted(NATIVE_ALBU_OPS)})")
+        bp = dict(bbox_params or {})
+        self.min_visibility = float(bp.get("min_visibility", 0.0))
+        self.filter_lost = bool(bp.get("filter_lost_elements", False))
+        self.update_pad_shape = update_pad_shape
+        self.skip_img_without_anno = skip_img_without_anno
+
+    def __call__(self, results: dict):
+        from .albu_native import apply_albu_transform
+
+        rng = results.get("_rng") or np.random
+        img = results["img"]
+        float_input = np.issubdtype(np.asarray(img).dtype, np.floating)
+        img = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        boxes = results.get("gt_bboxes")
+        masks = results.get("gt_masks")
+        orig_areas = None
+        if boxes is not None and len(boxes):
+            orig_areas = ((boxes[:, 2] - boxes[:, 0])
+                          * (boxes[:, 3] - boxes[:, 1]))
+        for t in self.transforms:
+            img, boxes, masks = apply_albu_transform(t, img, boxes, masks,
+                                                     rng)
+        h, w = img.shape[:2]
+        results["img"] = img.astype(np.float32) if float_input else img
+        if boxes is not None and len(boxes):
+            clipped = boxes.copy()
+            clipped[:, 0::2] = np.clip(clipped[:, 0::2], 0, w)
+            clipped[:, 1::2] = np.clip(clipped[:, 1::2], 0, h)
+            if self.filter_lost:
+                area = ((clipped[:, 2] - clipped[:, 0])
+                        * (clipped[:, 3] - clipped[:, 1]))
+                vis = area / np.maximum(orig_areas, 1e-6)
+                keep = vis > self.min_visibility
+                clipped = clipped[keep]
+                if "gt_labels" in results:
+                    results["gt_labels"] = results["gt_labels"][keep]
+                if masks is not None and len(masks):
+                    masks = masks[keep]
+            results["gt_bboxes"] = clipped
+        if masks is not None:
+            results["gt_masks"] = masks
+        if self.update_pad_shape:
+            results["pad_shape"] = img.shape
+        return results
 
 
 @PIPELINES.register_module()
