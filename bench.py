@@ -88,7 +88,10 @@ def bench_tiled(model, n_images: int = 2, n_iters: int = 10):
     shift = jnp.asarray(np.tile(
         np.array([[x, y, x, y] for (x, y) in offs], np.float32),
         (n_images, 1)))[:, None, :]                       # (B, 1, 4)
-    variables = model.init(jax.random.PRNGKey(0), tiles[:1], train=False)
+    # jitted init: eager init on the axon backend compiles per-op through
+    # the remote tunnel (minutes); one jitted compile instead
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), tiles[:1])
 
     @jax.jit
     def infer(tiles):
@@ -152,7 +155,8 @@ def bench_p2p(n_iters: int = 20):
     img = jnp.asarray(np.random.RandomState(0).rand(batch, 512, 640, 3),
                       jnp.float32)
     img_shape = jnp.tile(jnp.asarray([[512, 640]], jnp.int32), (batch, 1))
-    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), img)
 
     @jax.jit
     def infer(img, img_shape):

@@ -71,7 +71,9 @@ def run_test(model, state, dataset, collator, batch_size: int = 1,
                           jnp.asarray(batch["img_shape"]),
                           jnp.asarray(batch["scale_factor"]))
         masks = None
-        if isinstance(dets, tuple):  # mask roi_heads return (dets, crops)
+        # mask roi_heads return (dets, crops); DetResult itself is a
+        # NamedTuple, so detect by the missing .bboxes attribute
+        if not hasattr(dets, "bboxes"):
             dets, masks = dets
             masks = np.asarray(masks)
         db = np.asarray(dets.bboxes)
