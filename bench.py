@@ -56,6 +56,12 @@ def _with_dtype(cfg: dict, dtype: str) -> dict:
     for k in ("backbone", "neck", "bbox_head", "rpn_head"):
         if isinstance(cfg.get(k), dict):
             cfg[k] = dict(cfg[k], dtype=dtype)
+    if isinstance(cfg.get("roi_head"), dict):
+        rh = dict(cfg["roi_head"], dtype=dtype)
+        for k in ("bbox_head", "mask_head"):
+            if isinstance(rh.get(k), dict):
+                rh[k] = dict(rh[k], dtype=dtype)
+        cfg["roi_head"] = rh
     return cfg
 
 

@@ -1,0 +1,27 @@
+# MMDet V1.x-compatible Cascade (Mask) R-CNN. Parity: reference
+# configs/legacy_1.x/cascade_mask_rcnn_r50_fpn_1x_coco_v1.py
+_base_ = ["../coco/cascade_rcnn_r50_fpn_1x_coco.py"]
+_bbox = dict(type="Shared2FCBBoxHead", num_classes=80, in_channels=256,
+             fc_out_channels=1024, roi_feat_size=7,
+             loss_cls=dict(type="CrossEntropyLoss"),
+             loss_bbox=dict(type="SmoothL1Loss", beta=1.0))
+model = dict(
+    rpn_head=dict(
+        anchor_generator=dict(type="LegacyAnchorGenerator",
+                              center_offset=0.5, scales=[8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=[4, 8, 16, 32, 64]),
+        bbox_coder=dict(type="LegacyDeltaXYWHBBoxCoder"),
+        loss_bbox=dict(type="SmoothL1Loss", beta=1.0 / 9.0)),
+    roi_head=dict(
+        bbox_roi_extractor=dict(
+            roi_layer=dict(type="RoIAlign", output_size=7,
+                           sampling_ratio=2, aligned=False)),
+        bbox_head=[
+            dict(_bbox, bbox_coder=dict(type="LegacyDeltaXYWHBBoxCoder",
+                                        target_stds=[0.1, 0.1, 0.2, 0.2])),
+            dict(_bbox, bbox_coder=dict(type="LegacyDeltaXYWHBBoxCoder",
+                                        target_stds=[0.05, 0.05, 0.1, 0.1])),
+            dict(_bbox, bbox_coder=dict(
+                type="LegacyDeltaXYWHBBoxCoder",
+                target_stds=[0.033, 0.033, 0.067, 0.067]))]))

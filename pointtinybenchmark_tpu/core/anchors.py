@@ -17,7 +17,8 @@ import numpy as np
 
 from ..utils.registry import ANCHOR_GENERATORS
 
-__all__ = ["AnchorGenerator", "PointGenerator"]
+__all__ = ["AnchorGenerator", "PointGenerator", "SSDAnchorGenerator",
+           "LegacyAnchorGenerator", "LegacySSDAnchorGenerator"]
 
 
 @ANCHOR_GENERATORS.register_module()
@@ -111,6 +112,30 @@ class AnchorGenerator:
 
 
 @ANCHOR_GENERATORS.register_module()
+class LegacyAnchorGenerator(AnchorGenerator):
+    """MMDet V1.x anchor grid (mmdet core/anchor/anchor_generator.py:474):
+    centers at center_offset*(base_size-1), corners use the V1.x w/h-1
+    pixel convention, and base anchors are rounded to integers."""
+
+    def _single_level_base_anchors(self, base_size: float, stride) -> np.ndarray:
+        w = h = float(base_size)
+        x_c = self.center_offset * (w - 1)
+        y_c = self.center_offset * (h - 1)
+        h_ratios = np.sqrt(self.ratios)
+        w_ratios = 1.0 / h_ratios
+        if self.scale_major:
+            ws = (w * w_ratios[:, None] * self.scales[None, :]).reshape(-1)
+            hs = (h * h_ratios[:, None] * self.scales[None, :]).reshape(-1)
+        else:
+            ws = (w * self.scales[:, None] * w_ratios[None, :]).reshape(-1)
+            hs = (h * self.scales[:, None] * h_ratios[None, :]).reshape(-1)
+        base = np.stack([x_c - 0.5 * (ws - 1), y_c - 0.5 * (hs - 1),
+                         x_c + 0.5 * (ws - 1), y_c + 0.5 * (hs - 1)],
+                        axis=-1)
+        return np.round(base).astype(np.float32)
+
+
+@ANCHOR_GENERATORS.register_module()
 class PointGenerator:
     """Grid-point generator (mmdet core/anchor/point_generator.py parity).
 
@@ -143,11 +168,33 @@ class SSDAnchorGenerator:
     of the min size for each extra ratio.
     """
 
-    def __init__(self, strides, ratios, min_sizes, max_sizes,
-                 center_offset: float = 0.5):
+    def __init__(self, strides, ratios, min_sizes=None, max_sizes=None,
+                 basesize_ratio_range=None, input_size: int = 300,
+                 scale_major: bool = False, center_offset: float = 0.5):
         self.strides = [(s, s) if isinstance(s, int) else tuple(s)
                         for s in strides]
         self.ratios = [list(r) for r in ratios]
+        if min_sizes is None:
+            # mmdet surface (anchor_generator.py:366-417): derive per-level
+            # min/max sizes from basesize_ratio_range + input_size.
+            assert basesize_ratio_range is not None
+            mn_r = int(basesize_ratio_range[0] * 100)
+            mx_r = int(basesize_ratio_range[1] * 100)
+            n = len(self.strides)
+            step = int(np.floor(mx_r - mn_r) / (n - 2))
+            min_sizes, max_sizes = [], []
+            for ratio in range(mn_r, mx_r + 1, step):
+                min_sizes.append(int(input_size * ratio / 100))
+                max_sizes.append(int(input_size * (ratio + step) / 100))
+            first = {  # (input_size, first basesize ratio) -> head sizes
+                (300, 15): (7, 15), (300, 20): (10, 20),
+                (512, 10): (4, 10), (512, 15): (7, 15)}
+            key = (int(input_size), mn_r)
+            assert key in first, (
+                f"unsupported SSD basesize_ratio_range {basesize_ratio_range}"
+                f" for input_size {input_size}")
+            min_sizes.insert(0, int(input_size * first[key][0] / 100))
+            max_sizes.insert(0, int(input_size * first[key][1] / 100))
         self.min_sizes = list(min_sizes)
         self.max_sizes = list(max_sizes)
         self.center_offset = center_offset
@@ -203,3 +250,24 @@ class SSDAnchorGenerator:
             vv = (vy[:, None] & vx[None, :]).ravel()
             flags.append(np.repeat(vv, self.num_base_anchors[i]))
         return flags
+
+
+@ANCHOR_GENERATORS.register_module()
+class LegacySSDAnchorGenerator(SSDAnchorGenerator):
+    """MMDet V1.x SSD anchors (mmdet anchor_generator.py:573): centers at
+    (stride-1)/2 and the V1.x w/h-1 rounded-corner convention."""
+
+    def _level_base(self, i) -> np.ndarray:
+        mn, mx = self.min_sizes[i], self.max_sizes[i]
+        cx = (self.strides[i][0] - 1) / 2.0
+        cy = (self.strides[i][1] - 1) / 2.0
+        whs = [(mn, mn), (np.sqrt(mn * mx), np.sqrt(mn * mx))]
+        for r in self.ratios[i]:
+            if r == 1:
+                continue
+            sr = np.sqrt(r)
+            whs.append((mn * sr, mn / sr))
+            whs.append((mn / sr, mn * sr))
+        out = [[cx - (w - 1) / 2, cy - (h - 1) / 2,
+                cx + (w - 1) / 2, cy + (h - 1) / 2] for w, h in whs]
+        return np.round(np.asarray(out, np.float32)).astype(np.float32)

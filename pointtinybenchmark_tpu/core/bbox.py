@@ -24,6 +24,7 @@ __all__ = [
     "xyxy2cxcywh", "cxcywh2xyxy", "bbox_flip", "bbox_mapping_tile",
     "bbox_mapping_back_tile", "bbox_rescale", "bbox_clip", "bbox2roi",
     "bbox2tblr", "tblr2bbox", "bbox_rescale_center", "bbox2bucket", "bucket2bbox",
+    "legacy_bbox2delta", "legacy_delta2bbox", "delta_coder_fns",
 ]
 
 
@@ -78,6 +79,71 @@ def delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
         x2 = jnp.clip(x2, 0, max_shape[1])
         y2 = jnp.clip(y2, 0, max_shape[0])
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def legacy_bbox2delta(proposals: jnp.ndarray, gt: jnp.ndarray,
+                      means=(0., 0., 0., 0.),
+                      stds=(1., 1., 1., 1.)) -> jnp.ndarray:
+    """MMDet V1.x delta encode (mmdet core/bbox/coder/
+    legacy_delta_xywh_bbox_coder.py::legacy_bbox2delta): identical to
+    bbox2delta except width/height carry the V1.x +1 pixel convention."""
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    pw = proposals[..., 2] - proposals[..., 0] + 1.0
+    ph = proposals[..., 3] - proposals[..., 1] + 1.0
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0] + 1.0
+    gh = gt[..., 3] - gt[..., 1] + 1.0
+    dx = (gx - px) / pw
+    dy = (gy - py) / ph
+    dw = jnp.log(gw / pw)
+    dh = jnp.log(gh / ph)
+    deltas = jnp.stack([dx, dy, dw, dh], axis=-1)
+    means = jnp.asarray(means, deltas.dtype)
+    stds = jnp.asarray(stds, deltas.dtype)
+    return (deltas - means) / stds
+
+
+def legacy_delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
+                      means=(0., 0., 0., 0.), stds=(1., 1., 1., 1.),
+                      max_shape: Optional[Tuple[int, int]] = None,
+                      wh_ratio_clip: float = 16 / 1000) -> jnp.ndarray:
+    """MMDet V1.x delta decode (legacy_delta_xywh_bbox_coder.py::
+    legacy_delta2bbox): +1 w/h convention; clamps to max_shape - 1."""
+    means = jnp.asarray(means, deltas.dtype)
+    stds = jnp.asarray(stds, deltas.dtype)
+    d = deltas * stds + means
+    dx, dy, dw, dh = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    max_ratio = jnp.abs(jnp.log(wh_ratio_clip))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+    px = (rois[..., 0] + rois[..., 2]) * 0.5
+    py = (rois[..., 1] + rois[..., 3]) * 0.5
+    pw = rois[..., 2] - rois[..., 0] + 1.0
+    ph = rois[..., 3] - rois[..., 1] + 1.0
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gx = px + pw * dx
+    gy = py + ph * dy
+    x1 = gx - gw * 0.5
+    y1 = gy - gh * 0.5
+    x2 = gx + gw * 0.5
+    y2 = gy + gh * 0.5
+    if max_shape is not None:
+        x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+        y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+        x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+        y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def delta_coder_fns(coder_cfg):
+    """(encode, decode) pair for a DeltaXYWH-family coder config dict —
+    dispatches the MMDet V1.x legacy coder by `type`."""
+    if (coder_cfg or {}).get("type") == "LegacyDeltaXYWHBBoxCoder":
+        return legacy_bbox2delta, legacy_delta2bbox
+    return bbox2delta, delta2bbox
 
 
 def distance2bbox(points: jnp.ndarray, distance: jnp.ndarray,

@@ -346,6 +346,9 @@ class RandomCrop:
                     results["gt_labels"] = results["gt_labels"][keep]
                 if "gt_anns_id" in results:
                     results["gt_anns_id"] = results["gt_anns_id"][keep]
+        for key in results.get("mask_fields", []):
+            m = results[key][:, y0:y0 + ch, x0:x0 + cw]
+            results[key] = m[keep_main] if keep_main is not None else m
         if (keep_main is not None and not keep_main.any()
                 and not self.allow_negative_crop):
             return None
@@ -793,15 +796,48 @@ class Albu:
 
 @PIPELINES.register_module()
 class InstaBoost:
-    """Gated stand-in for InstaBoost (mmdet datasets/pipelines/
-    instaboost.py), which requires the external `instaboostfast` package."""
+    """InstaBoost instance crop-jitter-paste augmentation (mmdet
+    datasets/pipelines/instaboost.py config surface), backed by the NATIVE
+    reimplementation in data/instaboost_native.py instead of the external
+    `instaboostfast` package. Requires masks (use LoadAnnotations
+    with_mask=True before it, matching the reference's restriction to
+    instance-segmentation datasets)."""
 
-    def __init__(self, *args, **kwargs):
-        raise ImportError(
-            "InstaBoost requires the external `instaboostfast` package, "
-            "which is not available in this environment. The crop-paste "
-            "augmentation family is otherwise covered by Expand / "
-            "MinIoURandomCrop / CutOut.")
+    def __init__(self, action_candidate=("normal", "horizontal", "skip"),
+                 action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                 theta=(-1, 1), color_prob=0.5, hflag=False,
+                 aug_ratio=0.5):
+        self.action_candidate = tuple(action_candidate)
+        self.action_prob = tuple(action_prob)
+        self.scale = tuple(scale)
+        self.dx = float(dx)
+        self.dy = float(dy)
+        self.theta = tuple(theta)
+        self.color_prob = float(color_prob)
+        self.aug_ratio = float(aug_ratio)
+
+    def __call__(self, results: dict) -> dict:
+        from .instaboost_native import instaboost_sample
+
+        masks = results.get("gt_masks")
+        boxes = results.get("gt_bboxes")
+        if masks is None or boxes is None or len(boxes) == 0:
+            return results
+        rng: np.random.RandomState = results.get(
+            "_rng", np.random.RandomState())
+        if rng.rand() > self.aug_ratio:
+            return results
+        labels = results.get("gt_labels",
+                             np.zeros(len(boxes), np.int64))
+        img, boxes, masks, labels = instaboost_sample(
+            results["img"], boxes, masks, labels, rng,
+            self.action_candidate, self.action_prob, self.scale,
+            self.dx, self.dy, self.theta, self.color_prob)
+        results["img"] = img
+        results["gt_bboxes"] = boxes
+        results["gt_masks"] = masks
+        results["gt_labels"] = labels
+        return results
 
 
 @PIPELINES.register_module()

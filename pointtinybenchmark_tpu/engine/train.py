@@ -146,12 +146,14 @@ def train_detector(model, dataset, cfg, work_dir: str,
         max_gt=int(loader_cfg.get("max_gt", 200)),
         max_gt_ignore=int(loader_cfg.get("max_gt_ignore", 50)))
     shuffle = data_cfg.get("shuffle")
+    workers = data_cfg.get("workers_per_gpu")
     loader = DataLoader(dataset, global_batch, collator,
                         shuffle=True if shuffle is None else bool(shuffle),
                         seed=seed,
                         # variable image sizes: aspect grouping keeps the
                         # max-in-batch padding small (GroupSampler parity)
-                        group_by_aspect=loader_cfg.get("pad_shape") is None)
+                        group_by_aspect=loader_cfg.get("pad_shape") is None,
+                        num_workers=int(workers) if workers else None)
     iters_per_epoch = len(loader)
 
     runner_cfg = cfg.get("runner", dict(type="EpochBasedRunner", max_epochs=12))

@@ -63,10 +63,9 @@ class AnchorHead(nn.Module):
             type="AnchorGenerator", scales=[8], ratios=[0.5, 1.0, 2.0],
             strides=[4, 8, 16, 32, 64]))
         gen_type = cfg.pop("type", "AnchorGenerator")
-        if gen_type == "SSDAnchorGenerator":
-            from ...core.anchors import SSDAnchorGenerator
-            return SSDAnchorGenerator(**cfg)
-        return AnchorGenerator(**cfg)
+        from ...core import anchors as _anchors
+        cls = getattr(_anchors, gen_type, AnchorGenerator)
+        return cls(**cfg)
 
     @property
     def num_base_anchors(self) -> int:
@@ -76,6 +75,11 @@ class AnchorHead(nn.Module):
         cfg = dict(self.bbox_coder or {})
         return (tuple(cfg.get("target_means", (0., 0., 0., 0.))),
                 tuple(cfg.get("target_stds", (1., 1., 1., 1.))))
+
+    def _coder_fns(self):
+        """(encode, decode) honoring LegacyDeltaXYWHBBoxCoder configs."""
+        from ...core.bbox import delta_coder_fns
+        return delta_coder_fns(self.bbox_coder)
 
     # ------------------------------------------------------------- network
     @nn.compact
@@ -131,6 +135,7 @@ class AnchorHead(nn.Module):
         positives, when return_gt_ids]."""
         assigner = self.build_assigner()
         means, stds = self._coder_params()
+        encode_fn, _ = self._coder_fns()
         pos_weight = float((self.train_cfg or {}).get("pos_weight", -1))
 
         def single(gt_bboxes, gt_labels, gt_valid, gt_ignore, gt_ig_valid):
@@ -142,8 +147,8 @@ class AnchorHead(nn.Module):
             neg = assigned == 0
             safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
             tgt_boxes = gt_bboxes[safe]
-            bbox_targets = bbox2delta(jnp.asarray(anchors), tgt_boxes,
-                                      means, stds)
+            bbox_targets = encode_fn(jnp.asarray(anchors), tgt_boxes,
+                                     means, stds)
             bbox_targets = jnp.where(pos[:, None], bbox_targets, 0.0)
             out_labels = jnp.where(pos, labels, self.num_classes)
             lw_pos = 1.0 if pos_weight <= 0 else pos_weight
@@ -228,6 +233,7 @@ class AnchorHead(nn.Module):
         iou_thr = float(cfg.get("nms", {}).get("iou_threshold", 0.5))
         max_per_img = int(cfg.get("max_per_img", 100))
         means, stds = self._coder_params()
+        _, decode_fn = self._coder_fns()
 
         featmap_sizes = [c.shape[1:3] for c in cls_outs]
         gen = self._build_generator()
@@ -246,8 +252,8 @@ class AnchorHead(nn.Module):
                     max_s = jnp.max(sc[:, :-1], -1)
                 k = min(nms_pre, sc.shape[0]) if nms_pre > 0 else sc.shape[0]
                 _, idx = jax.lax.top_k(max_s, k)
-                boxes = delta2bbox(jnp.asarray(level_anchors[lvl])[idx],
-                                   box_o[idx], means, stds)
+                boxes = decode_fn(jnp.asarray(level_anchors[lvl])[idx],
+                                  box_o[idx], means, stds)
                 boxes = jnp.stack([
                     jnp.clip(boxes[:, 0], 0, img_shape[1]),
                     jnp.clip(boxes[:, 1], 0, img_shape[0]),

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.bbox import delta2bbox
+from ...core.bbox import delta_coder_fns
 from ...ops.nms import batched_nms
 from ...utils.registry import HEADS
 from .anchor_head import AnchorHead
@@ -55,6 +55,7 @@ class RPNHead(AnchorHead):
         iou_thr = float(proposal_cfg.get("nms", {}).get("iou_threshold", 0.7))
         min_size = float(proposal_cfg.get("min_bbox_size", 0))
         means, stds = self._coder_params()
+        _, delta2bbox = delta_coder_fns(self.bbox_coder)
 
         featmap_sizes = [c.shape[1:3] for c in cls_outs]
         gen = self._build_generator()

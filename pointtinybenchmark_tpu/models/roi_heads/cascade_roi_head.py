@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.bbox import delta2bbox
+from ...core.bbox import delta_coder_fns
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS
 from ..builder import build_head
@@ -62,8 +62,12 @@ class CascadeRoIHead(nn.Module):
         return dict(
             featmap_strides=tuple(cfg.get("featmap_strides", (4, 8, 16, 32))),
             output_size=int(roi_layer.get("output_size", 7)),
-            sampling_ratio=max(int(roi_layer.get("sampling_ratio", 0)), 2),
-            finest_scale=float(cfg.get("finest_scale", 56)))
+            sampling_ratio=(int(roi_layer.get("sampling_ratio", 0)) or 2),
+            finest_scale=float(cfg.get("finest_scale", 56)),
+            aligned=bool(roi_layer.get("aligned", True)))
+
+    def _coder_fns(self, i: int):
+        return delta_coder_fns(self._head_cfg(i).get("bbox_coder", {}))
 
     def _coder_params(self, i: int):
         cfg = dict(self._head_cfg(i).get("bbox_coder", {}))
@@ -79,6 +83,7 @@ class CascadeRoIHead(nn.Module):
         """Decode stage-i boxes into next-stage proposals (class of max
         score, mmdet regress_by_class)."""
         means, stds = self._coder_params(i)
+        bbox2delta, delta2bbox = self._coder_fns(i)
         nc = self.num_classes
         b, p = proposals.shape[:2]
         if bbox_pred.shape[-1] == 4:
@@ -123,7 +128,6 @@ class CascadeRoIHead(nn.Module):
         """StandardRoIHead.forward_train equivalent bound to this cascade's
         stage-i head; also returns the sampled rois + raw outputs."""
         from ...core.assigners import MaxIoUAssigner
-        from ...core.bbox import bbox2delta
         from ...utils.registry import LOSSES
 
         cfg = dict(self._stage_cfgs[i] or {})
@@ -140,6 +144,7 @@ class CascadeRoIHead(nn.Module):
         add_gt = bool(sampler_cfg.get("add_gt_as_proposals", i == 0))
         pos_budget = int(num_sample * pos_fraction)
         means, stds = self._coder_params(i)
+        bbox2delta, delta2bbox = self._coder_fns(i)
         nc = self.num_classes
 
         gt_bboxes = batch["gt_bboxes"]
@@ -226,7 +231,8 @@ class CascadeRoIHead(nn.Module):
         n_lvl = len(ec["featmap_strides"])
         return single_roi_extract(feats[:n_lvl], rois,
                                   ec["featmap_strides"], ec["output_size"],
-                                  ec["sampling_ratio"], ec["finest_scale"])
+                                  ec["sampling_ratio"], ec["finest_scale"],
+                                  ec["aligned"])
 
     # ------------------------------------------------------------ test
     def simple_test(self, feats, proposals, prop_valid, img_shapes,
@@ -238,6 +244,7 @@ class CascadeRoIHead(nn.Module):
         b, p = proposals.shape[:2]
         nc = self.num_classes
         means, stds = self._coder_params(0)
+        bbox2delta, delta2bbox = self._coder_fns(0)
 
         scores_sum = 0.0
         boxes = proposals

@@ -132,7 +132,7 @@ class GridRoIHead(StandardRoIHead):
         return single_roi_extract(
             feats[:len(strides)], rois, strides,
             int(roi_layer.get("output_size", 14)),
-            max(int(roi_layer.get("sampling_ratio", 0)), 2),
+            (int(roi_layer.get("sampling_ratio", 0)) or 2),
             float(cfg.get("finest_scale", 56)))
 
     # -------------------------------------------------------------- train

@@ -5,10 +5,11 @@ single_level_roi_extractor.py (SingleRoIExtractor): each RoI is assigned to
 an FPN level by `floor(log2(sqrt(area) / finest_scale + 1e-6))` clamped to
 the level range, then RoIAligned from that level.
 
-TPU design: data-dependent level routing is replaced by computing RoIAlign
-on every level for all RoIs and selecting with a one-hot mask — 4x the
-gather FLOPs (cheap next to the backbone) for zero dynamic shapes and full
-batching.
+TPU design: data-dependent level routing with static shapes — all level
+maps are flattened into ONE buffer and each roi gathers from its assigned
+level via a global index offset (ops/roi_align.py::roi_align_multilevel).
+Numerically identical to align-on-every-level + one-hot select, at 1/4 of
+the gather traffic (the RoI-stage bottleneck; PARITY.md round-2 perf).
 """
 from __future__ import annotations
 
@@ -16,7 +17,7 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-from ...ops.roi_align import roi_align
+from ...ops.roi_align import roi_align, roi_align_multilevel
 
 __all__ = ["single_roi_extract", "generic_roi_extract", "map_roi_levels"]
 
@@ -34,16 +35,14 @@ def map_roi_levels(rois: jnp.ndarray, num_levels: int,
 def single_roi_extract(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                        featmap_strides: Sequence[int],
                        output_size: int = 7, sampling_ratio: int = 2,
-                       finest_scale: float = 56.0) -> jnp.ndarray:
+                       finest_scale: float = 56.0,
+                       aligned: bool = True) -> jnp.ndarray:
     """feats: per-level (B, H, W, C); rois (R, 5) -> (R, out, out, C)."""
     num_levels = len(featmap_strides)
     lvls = map_roi_levels(rois, num_levels, finest_scale)
-    out = None
-    for i, (feat, stride) in enumerate(zip(feats, featmap_strides)):
-        r = roi_align(feat, rois, 1.0 / stride, output_size, sampling_ratio)
-        sel = (lvls == i).astype(r.dtype)[:, None, None, None]
-        out = r * sel if out is None else out + r * sel
-    return out
+    return roi_align_multilevel(tuple(feats), rois, lvls,
+                                tuple(featmap_strides), output_size,
+                                sampling_ratio, aligned)
 
 
 def generic_roi_extract(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,

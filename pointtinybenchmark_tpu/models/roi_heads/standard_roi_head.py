@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...core.assigners import MaxIoUAssigner
-from ...core.bbox import bbox2delta, delta2bbox
+from ...core.bbox import delta_coder_fns
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS, LOSSES
 from ..builder import build_head
@@ -52,8 +52,9 @@ class StandardRoIHead(nn.Module):
         return dict(
             featmap_strides=tuple(cfg.get("featmap_strides", (4, 8, 16, 32))),
             output_size=int(roi_layer.get("output_size", 7)),
-            sampling_ratio=max(int(roi_layer.get("sampling_ratio", 0)), 2),
+            sampling_ratio=(int(roi_layer.get("sampling_ratio", 0)) or 2),
             finest_scale=float(cfg.get("finest_scale", 56)),
+            aligned=bool(roi_layer.get("aligned", True)),
             generic=cfg.get("type") == "GenericRoIExtractor",
             aggregation=str(cfg.get("aggregation", "sum")))
 
@@ -61,6 +62,9 @@ class StandardRoIHead(nn.Module):
         cfg = dict((self.bbox_head or {}).get("bbox_coder", {}))
         return (tuple(cfg.get("target_means", (0., 0., 0., 0.))),
                 tuple(cfg.get("target_stds", (0.1, 0.1, 0.2, 0.2))))
+
+    def _coder_fns(self):
+        return delta_coder_fns((self.bbox_head or {}).get("bbox_coder", {}))
 
     @property
     def num_classes(self) -> int:
@@ -78,7 +82,8 @@ class StandardRoIHead(nn.Module):
                 ec["output_size"], ec["sampling_ratio"], ec["aggregation"])
         return single_roi_extract(feats[:n_lvl], rois,
                                   ec["featmap_strides"], ec["output_size"],
-                                  ec["sampling_ratio"], ec["finest_scale"])
+                                  ec["sampling_ratio"], ec["finest_scale"],
+                                  ec["aligned"])
 
     # -------------------------------------------------------------- train
     def forward_train(self, feats, proposals: jnp.ndarray,
@@ -94,6 +99,7 @@ class StandardRoIHead(nn.Module):
         add_gt = bool(sampler_cfg.get("add_gt_as_proposals", True))
         pos_budget = int(num_sample * pos_fraction)
         means, stds = self._coder_params()
+        bbox2delta, delta2bbox = self._coder_fns()
         nc = self.num_classes
 
         gt_bboxes = batch["gt_bboxes"]
@@ -248,6 +254,7 @@ class StandardRoIHead(nn.Module):
         iou_thr = float(cfg.get("nms", {}).get("iou_threshold", 0.5))
         max_per_img = int(cfg.get("max_per_img", 100))
         means, stds = self._coder_params()
+        bbox2delta, delta2bbox = self._coder_fns()
         nc = self.num_classes
 
         b, p = proposals.shape[:2]

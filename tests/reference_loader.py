@@ -41,6 +41,9 @@ def _mmcv_stub() -> types.ModuleType:
         return deco
 
     m.jit = jit
+    m.is_tuple_of = lambda seq, typ: (isinstance(seq, tuple)
+                                      and all(isinstance(x, typ)
+                                              for x in seq))
     return m
 
 
@@ -63,7 +66,7 @@ def load_ref(relpath: str, extra: dict | None = None) -> types.SimpleNamespace:
     g["mmcv"] = _mmcv_stub()
     # common registry names any file might reference after stripping
     for name in ("BBOX_CODERS", "IOU_CALCULATORS", "MATCH_COST", "LOSSES",
-                 "PIPELINES", "BBOX_ASSIGNERS"):
+                 "PIPELINES", "BBOX_ASSIGNERS", "ANCHOR_GENERATORS"):
         g[name] = _Registry()
     g["BaseBBoxCoder"] = object
     if extra:
@@ -86,6 +89,16 @@ def ref_iou():
 @lru_cache(maxsize=None)
 def ref_delta_coder():
     return load_ref("core/bbox/coder/delta_xywh_bbox_coder.py")
+
+
+@lru_cache(maxsize=None)
+def ref_legacy_delta_coder():
+    return load_ref("core/bbox/coder/legacy_delta_xywh_bbox_coder.py")
+
+
+@lru_cache(maxsize=None)
+def ref_anchor_generator():
+    return load_ref("core/anchor/anchor_generator.py")
 
 
 @lru_cache(maxsize=None)

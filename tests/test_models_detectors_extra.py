@@ -221,3 +221,69 @@ def test_dynamic_roi_head_adapts():
     assert step == 2
     assert new_thr >= thr0  # max(initial_iou, mean history)
     assert 0.0 < float(roi["dynamic_beta"]) <= 1.0
+
+
+def test_legacy_v1x_faster_rcnn_runs():
+    """MMDet V1.x compat surface (configs/legacy_1x): LegacyAnchorGenerator
+    + LegacyDeltaXYWHBBoxCoder + RoIAlign aligned=False train/test e2e."""
+    model = build_detector(
+        dict(type="FasterRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=8,
+                           num_stages=4, out_indices=(0, 1, 2, 3)),
+             neck=dict(type="FPN", in_channels=[16, 32, 64, 128],
+                       out_channels=16, num_outs=5),
+             rpn_head=dict(
+                 type="RPNHead", num_classes=1, in_channels=16,
+                 feat_channels=16,
+                 anchor_generator=dict(type="LegacyAnchorGenerator",
+                                       center_offset=0.5, scales=[8],
+                                       ratios=[0.5, 1.0, 2.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(type="LegacyDeltaXYWHBBoxCoder",
+                                 target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True),
+                 loss_bbox=dict(type="SmoothL1Loss", beta=1.0 / 9.0)),
+             roi_head=dict(
+                 type="StandardRoIHead",
+                 bbox_roi_extractor=dict(
+                     roi_layer=dict(type="RoIAlign", output_size=7,
+                                    sampling_ratio=2, aligned=False),
+                     out_channels=16, featmap_strides=[4, 8, 16, 32]),
+                 bbox_head=dict(
+                     type="Shared2FCBBoxHead", num_classes=2, in_channels=16,
+                     fc_out_channels=32, roi_feat_size=7,
+                     bbox_coder=dict(type="LegacyDeltaXYWHBBoxCoder",
+                                     target_means=[0, 0, 0, 0],
+                                     target_stds=[0.1, 0.1, 0.2, 0.2]),
+                     loss_cls=dict(type="CrossEntropyLoss"),
+                     loss_bbox=dict(type="SmoothL1Loss", beta=1.0)))),
+        dict(rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                    neg_iou_thr=0.3, min_pos_iou=0.3,
+                                    match_low_quality=True),
+                      sampler=dict(type="RandomSampler", num=64,
+                                   pos_fraction=0.5),
+                      allowed_border=-1, pos_weight=-1),
+             rpn_proposal=dict(nms_pre=100, max_per_img=50,
+                               nms=dict(iou_threshold=0.7)),
+             rcnn=dict(sampler=dict(type="RandomSampler", num=32,
+                                    pos_fraction=0.25))),
+        dict(rpn=dict(nms_pre=100, max_per_img=50,
+                      nms=dict(iou_threshold=0.7)),
+             rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                       max_per_img=10)))
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                      jnp.float32)
+    batch = _demo_batch()
+    variables = model.init(jax.random.PRNGKey(0), img)
+    losses, _ = model.apply(variables, img, batch,
+                            method=model.forward_train,
+                            mutable=["batch_stats"],
+                            rngs={"sampler": jax.random.PRNGKey(3)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    dets = model.apply(variables, img, batch["img_shape"], None, False,
+                       method=model.simple_test)
+    while not hasattr(dets, "bboxes"):
+        dets = dets[0]
+    assert np.isfinite(np.asarray(dets.bboxes)).all()

@@ -253,3 +253,74 @@ def test_fpn_carafe_output_shapes():
     params = neck.init(jax.random.PRNGKey(0), feats)
     outs = neck.apply(params, feats)
     assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+
+
+def test_roi_align_multilevel_matches_select_formulation():
+    """roi_align_multilevel (single gather from the assigned level) must be
+    numerically identical to align-on-every-level + one-hot select."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pointtinybenchmark_tpu.models.roi_heads.roi_extractor import (
+        map_roi_levels)
+    from pointtinybenchmark_tpu.ops.roi_align import (roi_align,
+                                                      roi_align_multilevel)
+
+    rng = np.random.RandomState(0)
+    B, C = 2, 8
+    strides = (4, 8, 16, 32)
+    feats = tuple(jnp.asarray(rng.rand(B, 64 // s * 4, 80 // s * 4, C)
+                              .astype(np.float32)) for s in strides)
+    R = 40
+    xy = rng.rand(R, 2) * 200
+    wh = rng.rand(R, 2) * 250 + 4   # spans all pyramid levels
+    rois = np.concatenate([rng.randint(0, B, (R, 1)).astype(np.float32),
+                           xy, xy + wh], axis=1).astype(np.float32)
+    rois = jnp.asarray(rois)
+    lvls = map_roi_levels(rois, len(strides))
+    got = roi_align_multilevel(feats, rois, lvls, strides, 7, 2)
+    want = None
+    for i, (f, s) in enumerate(zip(feats, strides)):
+        r = roi_align(f, rois, 1.0 / s, 7, 2)
+        sel = (lvls == i).astype(r.dtype)[:, None, None, None]
+        want = r * sel if want is None else want + r * sel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    assert len(np.unique(np.asarray(lvls))) > 1  # test spans levels
+
+
+def test_roi_align_multilevel_boundary_rois():
+    """RoIs hugging the bottom/right image edge: sample points clamp to the
+    last row/col of the coarsest level (end of the flattened buffer) —
+    exactly where a clipped 2x2 slice gather would shift its start and
+    corrupt the nonzero-weight tap."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pointtinybenchmark_tpu.models.roi_heads.roi_extractor import (
+        map_roi_levels)
+    from pointtinybenchmark_tpu.ops.roi_align import (roi_align,
+                                                      roi_align_multilevel)
+
+    rng = np.random.RandomState(1)
+    B, C = 2, 4
+    strides = (4, 8, 16, 32)
+    H, W = 64, 80  # image 256 x 320
+    feats = tuple(jnp.asarray(
+        rng.rand(B, H // (s // 4), W // (s // 4), C).astype(np.float32))
+        for s in strides)
+    img_h, img_w = H * 4, W * 4
+    # Huge rois pinned to the bottom-right corner (coarsest level), plus
+    # rois extending past the image edge, for the LAST batch index — the
+    # very end of the flattened multi-level buffer.
+    rois = jnp.asarray(np.array([
+        [B - 1, img_w - 300, img_h - 260, img_w, img_h],
+        [B - 1, img_w - 300, img_h - 260, img_w + 40, img_h + 40],
+        [B - 1, img_w - 8, img_h - 8, img_w - 1, img_h - 1],
+        [0, img_w - 290, img_h - 280, img_w, img_h],
+    ], dtype=np.float32))
+    lvls = map_roi_levels(rois, len(strides))
+    got = roi_align_multilevel(feats, rois, lvls, strides, 7, 2)
+    want = None
+    for i, (f, s) in enumerate(zip(feats, strides)):
+        r = roi_align(f, rois, 1.0 / s, 7, 2)
+        sel = (lvls == i).astype(r.dtype)[:, None, None, None]
+        want = r * sel if want is None else want + r * sel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -346,3 +346,67 @@ def test_cocoeval_vs_oracle_class_agnostic():
                                atol=1e-10)
     np.testing.assert_allclose(ours.eval["recall"], oracle.recall,
                                atol=1e-10)
+
+
+# ---------------------------------------------------------- legacy (v1.x)
+def test_legacy_delta_coder_golden():
+    """LegacyDeltaXYWHBBoxCoder numerics vs the reference file
+    (core/bbox/coder/legacy_delta_xywh_bbox_coder.py)."""
+    from pointtinybenchmark_tpu.core.bbox import (legacy_bbox2delta,
+                                                  legacy_delta2bbox)
+    ref = R.ref_legacy_delta_coder()
+    rois = rand_boxes(64)
+    gts = rand_boxes(64)
+    means = (0.0, 0.0, 0.0, 0.0)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    close(legacy_bbox2delta(jnp.asarray(rois), jnp.asarray(gts), means, stds),
+          ref.legacy_bbox2delta(t(rois), t(gts), means, stds))
+    deltas = (RNG.rand(64, 4).astype(np.float32) - 0.5) * 4
+    close(legacy_delta2bbox(jnp.asarray(rois), jnp.asarray(deltas), means,
+                            stds, max_shape=(90, 110)),
+          ref.legacy_delta2bbox(t(rois), t(deltas), means, stds,
+                                max_shape=(90, 110)))
+
+
+def test_legacy_anchor_generator_golden():
+    """LegacyAnchorGenerator / LegacySSDAnchorGenerator base anchors and
+    grids vs the reference classes (core/anchor/anchor_generator.py:474,573)."""
+    from pointtinybenchmark_tpu.core.anchors import (LegacyAnchorGenerator,
+                                                     LegacySSDAnchorGenerator)
+    refmod = R.ref_anchor_generator()
+
+    ours = LegacyAnchorGenerator(strides=[16], ratios=[0.5, 1.0, 2.0],
+                                 scales=[8], center_offset=0.5)
+    theirs = refmod.LegacyAnchorGenerator(
+        strides=[16], ratios=[0.5, 1.0, 2.0], scales=[8], center_offset=0.5)
+    np.testing.assert_allclose(ours.base_anchors[0],
+                               theirs.base_anchors[0].numpy(), atol=1e-4)
+    grid = ours.single_level_grid_anchors((2, 3), 0)
+    ref_grid = theirs.grid_anchors([(2, 3)], device="cpu")[0].numpy()
+    np.testing.assert_allclose(grid, ref_grid, atol=1e-4)
+
+    ours_ssd = LegacySSDAnchorGenerator(
+        strides=[8, 16, 32, 64, 100, 300],
+        ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+        basesize_ratio_range=(0.15, 0.9), input_size=300, scale_major=False)
+    theirs_ssd = refmod.LegacySSDAnchorGenerator(
+        strides=[8, 16, 32, 64, 100, 300],
+        ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+        basesize_ratio_range=(0.15, 0.9), input_size=300, scale_major=False)
+    for a, b in zip(ours_ssd.base_anchors, theirs_ssd.base_anchors):
+        np.testing.assert_allclose(a, b.numpy(), atol=1e-4)
+
+
+def test_ssd_anchor_generator_basesize_surface_golden():
+    """SSDAnchorGenerator with the mmdet basesize_ratio_range surface vs the
+    reference class (base sizes + anchors per level)."""
+    from pointtinybenchmark_tpu.core.anchors import SSDAnchorGenerator
+    refmod = R.ref_anchor_generator()
+    kw = dict(strides=[8, 16, 32, 64, 100, 300],
+              ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+              basesize_ratio_range=(0.15, 0.9), input_size=300,
+              scale_major=False)
+    ours = SSDAnchorGenerator(**kw)
+    theirs = refmod.SSDAnchorGenerator(**kw)
+    for a, b in zip(ours.base_anchors, theirs.base_anchors):
+        np.testing.assert_allclose(a, b.numpy(), atol=1e-4)
