@@ -47,12 +47,15 @@ class CocoFmtDataset:
                  corner_kwargs: Optional[dict] = None,
                  noise_kwargs: Optional[dict] = None,
                  merge_after_infer_kwargs: Optional[dict] = None,
+                 proposal_file: Optional[str] = None,
                  seed: int = 0):
         if data_root is not None:
             if not osp.isabs(ann_file):
                 ann_file = osp.join(data_root, ann_file)
             if img_prefix and not osp.isabs(img_prefix):
                 img_prefix = osp.join(data_root, img_prefix)
+            if proposal_file and not osp.isabs(proposal_file):
+                proposal_file = osp.join(data_root, proposal_file)
         if corner_kwargs is not None:
             from .tiling import generate_corner_json_file_if_not_exist
             ann_file = generate_corner_json_file_if_not_exist(
@@ -81,8 +84,32 @@ class CocoFmtDataset:
         else:
             self.flag = np.zeros(len(self.data_infos), np.uint8)
 
+        self.proposals = (self.load_proposals(proposal_file)
+                          if proposal_file else None)
         self.pipeline = Compose(pipeline)
         self._epoch = 0
+
+    def load_proposals(self, proposal_file: str) -> List[np.ndarray]:
+        """Precomputed per-image proposals (reference custom.py:115,
+        mmcv.load of a pickle list of (n, 4|5) arrays aligned with
+        data_infos; .json alternative maps image_id -> list of boxes)."""
+        if proposal_file.endswith(".json"):
+            import json
+            with open(proposal_file) as f:
+                by_img = json.load(f)
+            raw = [by_img.get(str(info["id"]), [])
+                   for info in self.data_infos]
+        else:
+            import pickle
+            with open(proposal_file, "rb") as f:
+                raw = pickle.load(f)
+            assert len(raw) == len(self.data_infos), (
+                f"proposal count {len(raw)} != image count "
+                f"{len(self.data_infos)}")
+        return [np.asarray(p, np.float32).reshape(-1, 5)
+                if len(p) and np.asarray(p).shape[-1] == 5
+                else np.asarray(p, np.float32).reshape(-1, 4)
+                for p in raw]
 
     # ------------------------------------------------------------- loading
     def load_annotations(self, ann_file: str) -> List[dict]:
@@ -195,7 +222,7 @@ class CocoFmtDataset:
         return self.prepare_train_img(idx)
 
     def _base_results(self, idx: int) -> dict:
-        return dict(
+        results = dict(
             img_info=self.data_infos[idx],
             img_prefix=self.img_prefix,
             bbox_fields=[],
@@ -203,6 +230,9 @@ class CocoFmtDataset:
                 (self.seed * 1_000_003 + self._epoch * 10_007 + idx)
                 % (2 ** 31)),
         )
+        if self.proposals is not None:
+            results["proposals"] = self.proposals[idx]
+        return results
 
     def prepare_train_img(self, idx: int) -> Optional[dict]:
         results = self._base_results(idx)

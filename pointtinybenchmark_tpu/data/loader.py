@@ -24,11 +24,13 @@ __all__ = ["DetCollator", "EpochSampler", "GroupSampler", "DataLoader",
 class DetCollator:
     def __init__(self, pad_shape: Optional[Tuple[int, int]] = None,
                  size_divisor: int = 32, max_gt: int = 200,
-                 max_gt_ignore: int = 50, keep_keys: Sequence[str] = ()):
+                 max_gt_ignore: int = 50, max_proposals: int = 1000,
+                 keep_keys: Sequence[str] = ()):
         self.pad_shape = pad_shape      # (H, W); None = max-in-batch rounded
         self.size_divisor = size_divisor
         self.max_gt = max_gt
         self.max_gt_ignore = max_gt_ignore
+        self.max_proposals = max_proposals
         self.keep_keys = keep_keys
 
     def _pad_boxes(self, arrs: List[np.ndarray], max_n: int):
@@ -80,6 +82,9 @@ class DetCollator:
                 if n:
                     labels[i, :n] = s["gt_labels"][:n]
             batch["gt_labels"] = labels
+        if "proposals" in samples[0]:
+            batch["proposals"], batch["proposals_valid"] = self._pad_boxes(
+                [s["proposals"] for s in samples], self.max_proposals)
         if "gt_bboxes_ignore" in samples[0]:
             batch["gt_bboxes_ignore"], batch["gt_ignore_valid"] = \
                 self._pad_boxes([s["gt_bboxes_ignore"] for s in samples],

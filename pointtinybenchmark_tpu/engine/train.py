@@ -36,7 +36,8 @@ __all__ = ["train_detector", "make_train_step", "init_model"]
 
 BATCH_GT_KEYS = ("img", "gt_bboxes", "gt_labels", "gt_valid", "img_shape",
                  "gt_bboxes_ignore", "gt_ignore_valid", "gt_true_bboxes",
-                 "gt_anns_id", "gt_masks", "scale_factor")
+                 "gt_anns_id", "gt_masks", "scale_factor",
+                 "proposals", "proposals_valid")
 
 
 def init_model(model, sample_batch: Dict[str, Any], seed: int = 0):

@@ -1,4 +1,5 @@
-from .config import Config, ConfigDict, merge_dict, parse_cfg_option
+from .config import (Config, ConfigDict, import_modules_from_strings,
+                     merge_dict, parse_cfg_option)
 from .logging import collect_env, get_root_logger
 from .registry import (ANCHOR_GENERATORS, BACKBONES, BBOX_ASSIGNERS,
                        BBOX_CODERS, BBOX_SAMPLERS, DATASETS, DETECTORS,
@@ -7,7 +8,8 @@ from .registry import (ANCHOR_GENERATORS, BACKBONES, BBOX_ASSIGNERS,
                        build_from_cfg)
 
 __all__ = [
-    "Config", "ConfigDict", "merge_dict", "parse_cfg_option",
+    "Config", "ConfigDict", "import_modules_from_strings",
+    "merge_dict", "parse_cfg_option",
     "get_root_logger", "collect_env", "Registry", "build_from_cfg",
     "DATASETS", "PIPELINES", "BACKBONES", "NECKS", "HEADS", "LOSSES",
     "DETECTORS", "BBOX_ASSIGNERS", "BBOX_SAMPLERS", "BBOX_CODERS",

@@ -187,6 +187,30 @@ class Config:
             f.write("cfg = " + self.pretty_text() + "\n")
 
 
+def import_modules_from_strings(imports, allow_failed_imports: bool = False):
+    """`custom_imports` support (mmcv utils/misc.py semantics; used by
+    tools/train.py:93-95 in the reference): import the listed module paths
+    so their @register_module side effects run before building."""
+    import importlib
+    import warnings
+
+    if imports is None:
+        return []
+    if isinstance(imports, str):
+        imports = [imports]
+    imported = []
+    for name in imports:
+        try:
+            imported.append(importlib.import_module(name))
+        except ImportError:
+            if not allow_failed_imports:
+                raise
+            warnings.warn(f"{name} failed to import and is ignored.",
+                          UserWarning)
+            imported.append(None)
+    return imported
+
+
 def parse_cfg_option(value: str) -> Any:
     """Parse a CLI `key=value` value string like mmcv's DictAction.
 

@@ -545,3 +545,77 @@ def test_cityscapes_converter_native(tmp_path):
     np.testing.assert_array_equal(m, (inst == 26002).astype(np.uint8))
     assert _json.load(open(tmp_path / "out.json"))["categories"][0][
         "name"] == "person"
+
+
+def test_load_proposals_end_to_end(tmp_path):
+    """proposal_file -> dataset -> LoadProposals -> Resize/Flip bbox-field
+    mapping -> collator padding (reference custom.py:115 + pipelines/
+    loading.py:403 + FastRCNN's precomputed-proposal contract)."""
+    import json as _json
+    import pickle
+
+    import numpy as np
+    from PIL import Image
+
+    from pointtinybenchmark_tpu.data import DataLoader, DetCollator
+    from pointtinybenchmark_tpu.data.cocofmt import CocoFmtDataset
+
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    for i in range(2):
+        fn = f"p{i}.jpg"
+        Image.fromarray((rng.rand(32, 48, 3) * 255).astype(np.uint8)).save(
+            tmp_path / fn)
+        images.append(dict(id=i + 1, file_name=fn, width=48, height=32))
+        anns.append(dict(id=i + 1, image_id=i + 1, category_id=1,
+                         bbox=[4.0, 4.0, 10.0, 10.0], area=100.0, iscrowd=0))
+    with open(tmp_path / "ann.json", "w") as f:
+        _json.dump(dict(images=images, annotations=anns,
+                        categories=[dict(id=1, name="person")]), f)
+    # pickle list aligned with data_infos, (n, 5) with scores
+    props = [np.array([[2, 2, 20, 20, 0.9], [5, 5, 30, 28, 0.8]],
+                      np.float32),
+             np.array([[1, 1, 10, 10, 0.7]], np.float32)]
+    with open(tmp_path / "props.pkl", "wb") as f:
+        pickle.dump(props, f)
+
+    pipeline = [
+        dict(type="LoadImageFromFile"),
+        dict(type="LoadProposals", num_max_proposals=2),
+        dict(type="LoadAnnotations", with_bbox=True),
+        dict(type="Resize", scale_factor=[2.0], keep_ratio=True),
+        dict(type="Collect", keys=["img", "gt_bboxes", "gt_labels",
+                                   "proposals"]),
+    ]
+    ds = CocoFmtDataset(ann_file=str(tmp_path / "ann.json"),
+                        img_prefix=str(tmp_path), pipeline=pipeline,
+                        proposal_file=str(tmp_path / "props.pkl"))
+    s = ds[0]
+    # scores stripped, scaled by the Resize factor 2
+    np.testing.assert_allclose(s["proposals"],
+                               np.array([[4, 4, 40, 40], [10, 10, 60, 56]],
+                                        np.float32))
+    batch = DetCollator(pad_shape=(64, 96), max_proposals=4)([ds[0], ds[1]])
+    assert batch["proposals"].shape == (2, 4, 4)
+    assert batch["proposals_valid"].tolist() == [
+        [True, True, False, False], [True, False, False, False]]
+
+
+def test_import_modules_from_strings(tmp_path, monkeypatch):
+    """custom_imports config surface (reference tools/train.py:93-95)."""
+    import sys
+
+    import pytest
+
+    from pointtinybenchmark_tpu.utils import import_modules_from_strings
+
+    (tmp_path / "my_custom_mod.py").write_text("FLAG = 41\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    mods = import_modules_from_strings(imports=["my_custom_mod"])
+    assert mods[0].FLAG == 41
+    with pytest.raises(ImportError):
+        import_modules_from_strings(imports=["definitely_not_a_module_xy"])
+    out = import_modules_from_strings(imports=["definitely_not_a_module_xy"],
+                                      allow_failed_imports=True)
+    assert out == [None]
+    sys.modules.pop("my_custom_mod", None)

@@ -40,9 +40,12 @@ def main():
     from pointtinybenchmark_tpu.models import build_detector
     from pointtinybenchmark_tpu.utils import (Config, collect_env,
                                               get_root_logger,
+                                              import_modules_from_strings,
                                               parse_cfg_option)
 
     cfg = Config.fromfile(args.config)
+    if cfg.get("custom_imports"):
+        import_modules_from_strings(**dict(cfg["custom_imports"]))
     if args.cfg_options:
         overrides = {}
         for kv in args.cfg_options:
