@@ -6,7 +6,8 @@ from .backbones.regnet import RegNet
 from .backbones.res2net import Res2Net
 from .backbones.resnest import ResNeSt
 from .backbones.ssd_vgg import SSDVGG
-from .backbones.detectors_resnet import DetectoRS_ResNet, SAConv2d
+from .backbones.detectors_resnet import (DetectoRS_ResNet,
+                                         DetectoRS_ResNeXt, SAConv2d)
 from .backbones.trident_resnet import TridentResNet
 from .necks.rfp import ASPP, RFP
 from .necks.fpg import FPG, NASFCOS_FPN

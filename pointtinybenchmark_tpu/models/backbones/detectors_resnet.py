@@ -34,13 +34,15 @@ class SAConv2d(nn.Module):
     in_channels: int
     out_channels: int
     stride: int = 1
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, s = 3, self.stride
         w = self.param("weight", nn.initializers.he_normal(),
-                       (k, k, self.in_channels, self.out_channels))
+                       (k, k, self.in_channels // self.groups,
+                        self.out_channels))
         w = w.astype(self.dtype)
         # AWS: standardize over (k, k, in) per output channel. gamma inits to
         # the he-init std so the standardized weight keeps a calibrated scale
@@ -49,7 +51,8 @@ class SAConv2d(nn.Module):
         # layer when training from scratch).
         mean = w.mean((0, 1, 2), keepdims=True)
         std = w.std((0, 1, 2), keepdims=True) + 1e-5
-        he_std = float(np.sqrt(2.0 / (k * k * self.in_channels)))
+        he_std = float(np.sqrt(2.0 / (k * k * self.in_channels
+                               // self.groups)))
         gamma = self.param("weight_gamma",
                            nn.initializers.constant(he_std),
                            (1, 1, 1, self.out_channels)).astype(self.dtype)
@@ -57,8 +60,8 @@ class SAConv2d(nn.Module):
                           (1, 1, 1, self.out_channels)).astype(self.dtype)
         w = gamma * (w - mean) / std + beta
         wd = self.param("weight_diff", nn.initializers.zeros,
-                        (k, k, self.in_channels, self.out_channels)
-                        ).astype(self.dtype)
+                        (k, k, self.in_channels // self.groups,
+                         self.out_channels)).astype(self.dtype)
 
         # global pre-context (zero-init 1x1 on GAP)
         gap = x.mean((1, 2), keepdims=True)
@@ -76,10 +79,10 @@ class SAConv2d(nn.Module):
                                             ("NHWC", "HWIO", "NHWC"))
         out_s = jax.lax.conv_general_dilated(
             x, w, (s, s), [(1, 1), (1, 1)], rhs_dilation=(1, 1),
-            dimension_numbers=dn)
+            dimension_numbers=dn, feature_group_count=self.groups)
         out_l = jax.lax.conv_general_dilated(
             x, w + wd, (s, s), [(3, 3), (3, 3)], rhs_dilation=(3, 3),
-            dimension_numbers=dn)
+            dimension_numbers=dn, feature_group_count=self.groups)
         out = switch * out_s + (1 - switch) * out_l
         # global post-context
         gap2 = out.mean((1, 2), keepdims=True)
@@ -97,6 +100,8 @@ class _SACBottleneck(nn.Module):
     downsample: bool = False
     with_sac: bool = False
     rfp_inplanes: Optional[int] = None
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
     norm_use_running_average: bool = True
 
@@ -105,16 +110,22 @@ class _SACBottleneck(nn.Module):
         bn = lambda name: nn.BatchNorm(
             use_running_average=self.norm_use_running_average,
             dtype=self.dtype, name=name)
+        # ResNeXt width (mmdet backbones/resnext.py Bottleneck): grouped
+        # 3x3 at width = planes * base_width/64 * groups
+        width = ((self.planes * self.base_width // 64) * self.groups
+                 if self.groups != 1 else self.planes)
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
         if self.with_sac:
-            y = SAConv2d(self.planes, self.planes, stride=self.stride,
-                         dtype=self.dtype, name="conv2_sac")(y)
+            y = SAConv2d(width, width, stride=self.stride,
+                         groups=self.groups, dtype=self.dtype,
+                         name="conv2_sac")(y)
         else:
-            y = nn.Conv(self.planes, (3, 3),
+            y = nn.Conv(width, (3, 3),
                         strides=(self.stride, self.stride), padding=1,
+                        feature_group_count=self.groups,
                         use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
@@ -152,6 +163,8 @@ class DetectoRS_ResNet(nn.Module):
     stage_with_sac: Sequence[bool] = (False, False, False, False)
     rfp_inplanes: Optional[int] = None
     output_img: bool = False
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -180,6 +193,7 @@ class DetectoRS_ResNet(nn.Module):
                     planes=planes, stride=s, downsample=need_down,
                     with_sac=with_sac,
                     rfp_inplanes=stage_rfp if j == 0 else None,
+                    groups=self.groups, base_width=self.base_width,
                     dtype=self.dtype, norm_use_running_average=use_ra,
                     name=f"layer{i + 1}_block{j}")
                 rf = (rfp_feats[i] if (j == 0 and stage_rfp is not None)
@@ -192,3 +206,11 @@ class DetectoRS_ResNet(nn.Module):
         if self.output_img:
             return tuple([img] + outs)
         return tuple(outs)
+
+
+@BACKBONES.register_module()
+class DetectoRS_ResNeXt(DetectoRS_ResNet):
+    """DetectoRS over ResNeXt bottlenecks (mmdet backbones/
+    detectors_resnext.py:98): grouped 3x3/SAC convs at ResNeXt width."""
+    groups: int = 1
+    base_width: int = 4

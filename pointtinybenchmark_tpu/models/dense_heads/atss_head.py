@@ -58,13 +58,19 @@ def atss_assign(anchors: np.ndarray, level_sizes: Sequence[int],
 
     cnt = jnp.maximum(cand.sum(0), 1)
     mean = (ious * cand).sum(0) / cnt
-    var = ((ious - mean[None, :]) ** 2 * cand).sum(0) / cnt
+    # unbiased std (torch .std default, atss_assigner.py:133 divides by k-1)
+    var = ((ious - mean[None, :]) ** 2 * cand).sum(0) \
+        / jnp.maximum(cnt - 1, 1)
     thr = mean + jnp.sqrt(var)                                      # (G,)
 
-    inside = ((centers_j[:, None, 0] > gt_bboxes[None, :, 0])
-              & (centers_j[:, None, 0] < gt_bboxes[None, :, 2])
-              & (centers_j[:, None, 1] > gt_bboxes[None, :, 1])
-              & (centers_j[:, None, 1] < gt_bboxes[None, :, 3]))
+    # center strictly inside with the reference's 0.01 margin
+    # (atss_assigner.py:154 `min(l,t,r,b) > 0.01`)
+    inside = (jnp.minimum(
+        jnp.minimum(centers_j[:, None, 0] - gt_bboxes[None, :, 0],
+                    gt_bboxes[None, :, 2] - centers_j[:, None, 0]),
+        jnp.minimum(centers_j[:, None, 1] - gt_bboxes[None, :, 1],
+                    gt_bboxes[None, :, 3] - centers_j[:, None, 1]))
+        > 0.01)
     pos = cand & (ious >= thr[None, :]) & inside
     # each anchor takes the gt with max IoU among its positives
     iou_masked = jnp.where(pos, ious, -1.0)

@@ -149,8 +149,6 @@ class SeesawLoss:
         ratio = counts[None, :] / jnp.maximum(counts[:, None], 1.0)  # N_j/N_i
         mitigation = jnp.minimum(ratio, 1.0) ** self.p
         scores = jax.nn.softmax(pred, -1)
-        score_i = jnp.einsum("nc,c->n", onehot, jnp.ones(c))  # dummy keep
-        del score_i
         s_gt = (scores * onehot).sum(-1, keepdims=True)
         comp = jnp.maximum(scores / jnp.maximum(s_gt, self.eps), 1.0) \
             ** self.q

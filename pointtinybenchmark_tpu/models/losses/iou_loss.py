@@ -9,7 +9,8 @@ from ...ops.iou import bbox_overlaps_aligned
 from ...utils.registry import LOSSES
 from .utils import weight_reduce_loss
 
-__all__ = ["IoULoss", "GIoULoss", "DIoULoss", "BoundedIoULoss"]
+__all__ = ["IoULoss", "GIoULoss", "DIoULoss", "CIoULoss",
+           "BoundedIoULoss"]
 
 
 @LOSSES.register_module()
@@ -78,6 +79,45 @@ class DIoULoss:
         ey2 = jnp.maximum(pred[..., 3], target[..., 3])
         c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2 + self.eps
         loss = 1 - ious + rho2 / c2
+        if weight is not None and weight.ndim == pred.ndim:
+            weight = weight.mean(-1)
+        loss = weight_reduce_loss(loss, weight, reduction, avg_factor)
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class CIoULoss:
+    """Complete IoU (reference mmdet/models/losses/iou_loss.py::ciou_loss):
+    DIoU + aspect-ratio consistency term v^2/(1-iou+v); the +eps on h1/h2
+    and the un-detached v follow the reference exactly."""
+
+    def __init__(self, eps: float = 1e-7, reduction: str = "mean",
+                 loss_weight: float = 1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        ious = bbox_overlaps_aligned(pred, target, eps=self.eps)
+        pcx = (pred[..., 0] + pred[..., 2]) * 0.5
+        pcy = (pred[..., 1] + pred[..., 3]) * 0.5
+        tcx = (target[..., 0] + target[..., 2]) * 0.5
+        tcy = (target[..., 1] + target[..., 3]) * 0.5
+        rho2 = (pcx - tcx) ** 2 + (pcy - tcy) ** 2
+        ex1 = jnp.minimum(pred[..., 0], target[..., 0])
+        ey1 = jnp.minimum(pred[..., 1], target[..., 1])
+        ex2 = jnp.maximum(pred[..., 2], target[..., 2])
+        ey2 = jnp.maximum(pred[..., 3], target[..., 3])
+        c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2 + self.eps
+        w1 = pred[..., 2] - pred[..., 0]
+        h1 = pred[..., 3] - pred[..., 1] + self.eps
+        w2 = target[..., 2] - target[..., 0]
+        h2 = target[..., 3] - target[..., 1] + self.eps
+        factor = 4.0 / jnp.pi ** 2
+        v = factor * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+        loss = 1 - (ious - (rho2 / c2 + v ** 2 / (1 - ious + v)))
         if weight is not None and weight.ndim == pred.ndim:
             weight = weight.mean(-1)
         loss = weight_reduce_loss(loss, weight, reduction, avg_factor)

@@ -159,3 +159,40 @@ def ref_mil_loss():
 def ref_scale_match():
     return load_ref("datasets/pipelines/scale_match.py",
                     extra={"F": None, "BoxList": object, "Resize": object})
+
+
+@lru_cache(maxsize=None)
+def ref_losses():
+    """models/losses/* golden namespace: focal/ghm/iou/varifocal/gfocal/
+    balanced_l1, with utils.weight_reduce_loss/weighted_loss and
+    core bbox_overlaps injected (their package-relative imports strip)."""
+    utils = load_ref("models/losses/utils.py")
+    iou2d = load_ref("core/bbox/iou_calculators/iou2d_calculator.py")
+    extra = dict(weight_reduce_loss=utils.weight_reduce_loss,
+                 weighted_loss=utils.weighted_loss,
+                 bbox_overlaps=iou2d.bbox_overlaps)
+    ns = {}
+    for f in ("focal_loss", "ghm_loss", "iou_loss", "varifocal_loss",
+              "gfocal_loss", "balanced_l1_loss"):
+        mod = load_ref(f"models/losses/{f}.py", dict(extra))
+        ns.update({k: v for k, v in vars(mod).items()
+                   if not k.startswith("_") or k == "_sigmoid_focal_loss"})
+    return types.SimpleNamespace(**ns)
+
+
+@lru_cache(maxsize=None)
+def ref_assigners():
+    """MaxIoU/ATSS assigners with a real AssignResult and bbox_overlaps
+    injected; BaseAssigner stubbed to object."""
+    iou2d = load_ref("core/bbox/iou_calculators/iou2d_calculator.py")
+    ar = load_ref("core/bbox/assigners/assign_result.py",
+                  dict(util_mixins=types.SimpleNamespace(
+                      NiceRepr=object)))
+    extra = dict(
+        build_iou_calculator=lambda cfg: iou2d.BboxOverlaps2D(),
+        AssignResult=ar.AssignResult,
+        BaseAssigner=object)
+    mx = load_ref("core/bbox/assigners/max_iou_assigner.py", dict(extra))
+    at = load_ref("core/bbox/assigners/atss_assigner.py", dict(extra))
+    return types.SimpleNamespace(MaxIoUAssigner=mx.MaxIoUAssigner,
+                                 ATSSAssigner=at.ATSSAssigner)

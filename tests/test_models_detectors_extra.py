@@ -287,3 +287,27 @@ def test_legacy_v1x_faster_rcnn_runs():
     while not hasattr(dets, "bboxes"):
         dets = dets[0]
     assert np.isfinite(np.asarray(dets.bboxes)).all()
+
+
+def test_detectors_resnext_backbone():
+    """DetectoRS_ResNeXt (reference backbones/detectors_resnext.py:98):
+    grouped SAC bottlenecks at ResNeXt width (32x4d -> width 128 at
+    layer1), RFP feedback input preserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointtinybenchmark_tpu.models import build_backbone
+
+    bb = build_backbone(dict(
+        type="DetectoRS_ResNeXt", depth=50, groups=32, base_width=4,
+        base_channels=64, sac=dict(type="SAC"),
+        stage_with_sac=(False, True, True, True)))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = bb.init(jax.random.PRNGKey(0), x, train=False)
+    outs = bb.apply(v, x, train=False)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    # ResNeXt 32x4d width: conv1 of layer1 projects to 4*32=128 channels
+    assert v["params"]["layer1_block0"]["conv1"]["kernel"].shape[-1] == 128
+    # grouped SAC kernel: (3, 3, width/groups, width)
+    k = v["params"]["layer2_block0"]["conv2_sac"]["weight"]
+    assert k.shape == (3, 3, 256 // 32, 256)

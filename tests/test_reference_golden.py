@@ -410,3 +410,199 @@ def test_ssd_anchor_generator_basesize_surface_golden():
     theirs = refmod.SSDAnchorGenerator(**kw)
     for a, b in zip(ours.base_anchors, theirs.base_anchors):
         np.testing.assert_allclose(a, b.numpy(), atol=1e-4)
+
+
+# ------------------------------------------------------------- losses golden
+def _L():
+    return R.ref_losses()
+
+
+def test_focal_loss_golden():
+    from pointtinybenchmark_tpu.models.losses.focal_loss import (
+        FocalLoss, sigmoid_focal_loss)
+    ref = _L()
+    n, c = 32, 4
+    pred = (RNG.rand(n, c).astype(np.float32) - 0.5) * 8
+    labels = RNG.randint(0, c + 1, n)  # c = background
+    onehot = np.eye(c + 1, dtype=np.float32)[labels][:, :c]
+    # elementwise formula vs py_sigmoid_focal_loss
+    close(sigmoid_focal_loss(jnp.asarray(pred), jnp.asarray(onehot)),
+          ref.py_sigmoid_focal_loss(t(pred), t(onehot), reduction="none"))
+    # class-level reduction with weight + avg_factor
+    w = RNG.rand(n).astype(np.float32)
+    ours = FocalLoss(gamma=1.7, alpha=0.4, loss_weight=0.9)(
+        jnp.asarray(pred), jnp.asarray(labels), weight=jnp.asarray(w),
+        avg_factor=11.0)
+    theirs = 0.9 * ref.py_sigmoid_focal_loss(
+        t(pred), t(onehot), weight=t(w).view(-1, 1), gamma=1.7, alpha=0.4,
+        reduction="mean", avg_factor=11.0)
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_ghm_losses_golden():
+    from pointtinybenchmark_tpu.models.losses.advanced import GHMC, GHMR
+    ref = _L()
+    n, c = 40, 3
+    pred = (RNG.rand(n, c).astype(np.float32) - 0.5) * 6
+    target = (RNG.rand(n, c) > 0.7).astype(np.float32)
+    lw = (RNG.rand(n, c) > 0.2).astype(np.float32)
+    ours = GHMC(bins=10, momentum=0.0)(jnp.asarray(pred),
+                                       jnp.asarray(target), jnp.asarray(lw))
+    theirs = ref.GHMC(bins=10, momentum=0.0)(t(pred), t(target), t(lw))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5,
+                               atol=1e-6)
+
+    pr = (RNG.rand(n, 4).astype(np.float32) - 0.5) * 4
+    tg = (RNG.rand(n, 4).astype(np.float32) - 0.5) * 4
+    lwr = (RNG.rand(n, 4) > 0.2).astype(np.float32)
+    ours_r = GHMR(mu=0.02, bins=10)(jnp.asarray(pr), jnp.asarray(tg),
+                                    jnp.asarray(lwr))
+    theirs_r = ref.GHMR(mu=0.02, bins=10)(t(pr), t(tg), t(lwr))
+    np.testing.assert_allclose(float(ours_r), float(theirs_r), rtol=1e-5,
+                               atol=1e-6)
+
+
+def _rand_boxes(n):
+    x1 = RNG.rand(n, 2).astype(np.float32) * 50
+    wh = RNG.rand(n, 2).astype(np.float32) * 40 + 1
+    return np.concatenate([x1, x1 + wh], -1)
+
+
+def test_iou_family_losses_golden():
+    from pointtinybenchmark_tpu.models.losses.iou_loss import (
+        BoundedIoULoss, DIoULoss, GIoULoss, IoULoss)
+    ref = _L()
+    n = 24
+    pred, target = _rand_boxes(n), _rand_boxes(n)
+    for ours_cls, ref_fn, kw in (
+            (IoULoss(), ref.iou_loss, {}),
+            (IoULoss(linear=True), lambda p, q, reduction: ref.iou_loss(
+                p, q, linear=True, reduction=reduction), {}),
+            (GIoULoss(), ref.giou_loss, {}),
+            (DIoULoss(), ref.diou_loss, {}),
+            (BoundedIoULoss(beta=0.2), lambda p, q, reduction:
+             ref.bounded_iou_loss(p, q, beta=0.2, reduction=reduction), {})):
+        ours = ours_cls(jnp.asarray(pred), jnp.asarray(target),
+                        reduction_override="sum")
+        theirs = ref_fn(t(pred), t(target), reduction="sum")
+        np.testing.assert_allclose(float(ours), float(theirs), rtol=2e-5,
+                                   atol=1e-4)
+
+
+def test_varifocal_qfl_dfl_balanced_l1_golden():
+    from pointtinybenchmark_tpu.models.losses.advanced import VarifocalLoss
+    from pointtinybenchmark_tpu.models.losses.gfocal_loss import (
+        DistributionFocalLoss, QualityFocalLoss)
+    from pointtinybenchmark_tpu.models.losses.smooth_l1_loss import (
+        BalancedL1Loss)
+    ref = _L()
+    n, c = 30, 5
+    pred = (RNG.rand(n, c).astype(np.float32) - 0.5) * 8
+    # varifocal: target = iou score on the positive channel
+    vf_t = np.zeros((n, c), np.float32)
+    pos = RNG.rand(n) > 0.5
+    vf_t[pos, RNG.randint(0, c, int(pos.sum()))] = RNG.rand(
+        int(pos.sum())).astype(np.float32)
+    ours = VarifocalLoss(alpha=0.75, gamma=2.0)(jnp.asarray(pred),
+                                                jnp.asarray(vf_t))
+    theirs = ref.varifocal_loss(t(pred), t(vf_t), alpha=0.75, gamma=2.0,
+                                reduction="sum")
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5,
+                               atol=1e-5)
+
+    labels = RNG.randint(0, c + 1, n)
+    scores = RNG.rand(n).astype(np.float32) * (labels < c)
+    ours_q = QualityFocalLoss(beta=2.0)(
+        jnp.asarray(pred), (jnp.asarray(labels), jnp.asarray(scores)),
+        reduction_override="sum")
+    theirs_q = ref.quality_focal_loss(t(pred), (t(labels).long(), t(scores)),
+                                      beta=2.0, reduction="sum")
+    np.testing.assert_allclose(float(ours_q), float(theirs_q), rtol=1e-5,
+                               atol=1e-4)
+
+    nb = 8
+    dpred = (RNG.rand(n, nb).astype(np.float32) - 0.5) * 4
+    dtarget = (RNG.rand(n).astype(np.float32)) * (nb - 1 - 1e-3)
+    ours_d = DistributionFocalLoss(loss_weight=1.0)(
+        jnp.asarray(dpred), jnp.asarray(dtarget), reduction_override="sum")
+    theirs_d = ref.distribution_focal_loss(t(dpred), t(dtarget),
+                                           reduction="sum")
+    np.testing.assert_allclose(float(ours_d), float(theirs_d), rtol=1e-5,
+                               atol=1e-4)
+
+    bp = (RNG.rand(n, 4).astype(np.float32) - 0.5) * 6
+    bt = (RNG.rand(n, 4).astype(np.float32) - 0.5) * 6
+    ours_b = BalancedL1Loss(alpha=0.5, gamma=1.5, beta=1.0)(
+        jnp.asarray(bp), jnp.asarray(bt))
+    theirs_b = ref.balanced_l1_loss(t(bp), t(bt), beta=1.0, alpha=0.5,
+                                    gamma=1.5, reduction="sum")
+    np.testing.assert_allclose(float(ours_b), float(theirs_b), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_ciou_loss_golden():
+    from pointtinybenchmark_tpu.models.losses.iou_loss import CIoULoss
+    ref = _L()
+    pred, target = _rand_boxes(20), _rand_boxes(20)
+    ours = CIoULoss()(jnp.asarray(pred), jnp.asarray(target),
+                      reduction_override="sum")
+    theirs = ref.ciou_loss(t(pred), t(target), reduction="sum")
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=2e-5,
+                               atol=1e-4)
+
+
+# ----------------------------------------------------------- assigner golden
+def test_max_iou_assigner_golden():
+    from pointtinybenchmark_tpu.core.assigners import MaxIoUAssigner
+    ref = R.ref_assigners()
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        n, g = 60, 7
+        anchors = np.concatenate(
+            [rng.rand(n, 2) * 60, rng.rand(n, 2) * 30 + 4], -1
+        ).astype(np.float32)
+        anchors[:, 2:] += anchors[:, :2]
+        gts = np.concatenate([rng.rand(g, 2) * 60,
+                              rng.rand(g, 2) * 30 + 4], -1).astype(np.float32)
+        gts[:, 2:] += gts[:, :2]
+        ours = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.3,
+                              min_pos_iou=0.3).assign(
+            jnp.asarray(anchors), jnp.asarray(gts),
+            jnp.ones(g, bool))[0]
+        theirs = ref.MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.3,
+                                    min_pos_iou=0.3).assign(
+            t(anchors), t(gts)).gt_inds.numpy()
+        # ours: 0 bg, j+1 pos; reference: -1 unassigned? mmdet: 0 bg
+        # when below neg thr, -1 ignore zone. map -1 -> our ignore code
+        ours = np.asarray(ours)
+        np.testing.assert_array_equal(ours, theirs), trial
+
+
+def test_atss_assign_golden():
+    from pointtinybenchmark_tpu.models.dense_heads.atss_head import (
+        atss_assign)
+    ref = R.ref_assigners()
+    rng = np.random.RandomState(3)
+    for trial in range(5):
+        # two "levels" of jittered grid anchors (jitter avoids exact
+        # center-distance ties, where torch.topk order is unspecified)
+        anc = []
+        for stride, hw in ((8, 8), (16, 4)):
+            ys, xs = np.mgrid[:hw, :hw] * stride + stride / 2
+            c = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+            c += rng.rand(*c.shape).astype(np.float32) * 2 - 1
+            sz = stride * 4
+            anc.append(np.concatenate([c - sz / 2, c + sz / 2], -1))
+        level_sizes = [len(a) for a in anc]
+        anchors = np.concatenate(anc)
+        g = 5
+        gts = np.concatenate([rng.rand(g, 2) * 50,
+                              rng.rand(g, 2) * 25 + 6], -1).astype(np.float32)
+        gts[:, 2:] += gts[:, :2]
+        ours = np.asarray(atss_assign(anchors, level_sizes,
+                                      jnp.asarray(gts), jnp.ones(g, bool),
+                                      topk=9))
+        theirs = ref.ATSSAssigner(topk=9).assign(
+            t(anchors), level_sizes, t(gts)).gt_inds.numpy()
+        np.testing.assert_array_equal(ours, theirs), trial
