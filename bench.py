@@ -83,7 +83,7 @@ def bench_tiled(model, n_images: int = 2, n_iters: int = 10):
     import jax.numpy as jnp
     import numpy as np
 
-    from pointtinybenchmark_tpu.ops.nms import batched_nms
+    from pointtinybenchmark_tpu.ops.nms import batched_nms_large
 
     offs = tile_offsets()
     v = len(offs)
@@ -118,12 +118,13 @@ def bench_tiled(model, n_images: int = 2, n_iters: int = 10):
         li = dets.labels.reshape(n_images, v * m)
         vi = dets.valid.reshape(n_images, v * m)
 
-        def merge_one(bb, ss, ll, vv):
-            keep, num = batched_nms(bb, ss, ll, 0.5, 1000, valid_mask=vv)
-            return keep, num
-
-        keep, num = jax.vmap(merge_one)(bi, si, li, vi)
-        return keep, num
+        # unrolled per-image global merge: nms_blocked is fast un-vmapped
+        # but its transients multiply under vmap (ops/nms.py routing note)
+        outs = [batched_nms_large(bi[i], si[i], li[i], 0.5, 1000,
+                                  valid_mask=vi[i])
+                for i in range(n_images)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
 
     @jax.jit
     def forward_only(tiles):

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.nms import batched_nms
+from ..ops.nms import batched_nms_large
 from ..utils.logging import get_root_logger
 
 __all__ = ["run_test", "run_tiled_test", "run_tta_test",
@@ -215,8 +215,8 @@ def merge_tile_dets(all_boxes: np.ndarray, all_scores: np.ndarray,
     scores = jnp.asarray(all_scores)
     labels = jnp.asarray(all_labels)
     valid = jnp.asarray(all_valid)
-    keep_idx, num = batched_nms(boxes, scores, labels, iou_threshold,
-                                max_per_img, valid_mask=valid)
+    keep_idx, num = batched_nms_large(boxes, scores, labels, iou_threshold,
+                                      max_per_img, valid_mask=valid)
     keep_idx = np.asarray(keep_idx)
     sel = keep_idx[keep_idx >= 0]
     return (np.asarray(boxes)[sel], np.asarray(scores)[sel],

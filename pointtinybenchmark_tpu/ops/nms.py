@@ -18,7 +18,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["nms", "nms_fixpoint", "batched_nms", "nms_mask"]
+__all__ = ["nms", "nms_fixpoint", "nms_blocked", "batched_nms",
+           "batched_nms_large", "nms_mask"]
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -101,31 +102,7 @@ def nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
     order = jnp.argsort(-scores)
     b = boxes[order]
     ok_s = ok[order]
-
-    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-    area = (x2 - x1) * (y2 - y1)
-    ix1 = jnp.maximum(x1[:, None], x1[None, :])
-    iy1 = jnp.maximum(y1[:, None], y1[None, :])
-    ix2 = jnp.minimum(x2[:, None], x2[None, :])
-    iy2 = jnp.minimum(y2[:, None], y2[None, :])
-    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
-    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
-    tri = jnp.tril(jnp.ones((n, n), bool), k=-1)  # j < i (rows j, cols i)
-    sup = (iou > iou_threshold) & tri.T & ok_s[:, None] & ok_s[None, :]
-    # sup[j, i] True means j (higher score) can suppress i
-
-    def cond(state):
-        keep, changed, it = state
-        return changed & (it < n)
-
-    def body(state):
-        keep, _, it = state
-        new_keep = ok_s & ~jnp.any(sup & keep[:, None], axis=0)
-        return new_keep, jnp.any(new_keep != keep), it + 1
-
-    keep0 = ok_s
-    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(True),
-                                                 jnp.int32(0)))
+    keep = _fixpoint_sorted(b, ok_s, iou_threshold)
     num_kept = jnp.minimum(keep.sum().astype(jnp.int32), max_out)
     # top max_out kept, in score order (k clamped when fewer candidates)
     rank_score = jnp.where(keep, scores[order], NEG_INF)
@@ -141,6 +118,103 @@ def nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 # fixpoint path is used below this candidate count (N^2 memory bound)
 FIXPOINT_MAX_N = 4096
+# blocked-fixpoint block width above that (N x BLOCK transients)
+NMS_BLOCK = 2048
+
+
+def _pairwise_iou(a, b):
+    """(Na, 4) x (Nb, 4) -> (Na, Nb)."""
+    ix1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    iy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    ix2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    iy2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter,
+                               1e-6)
+
+
+def _fixpoint_sorted(b, ok_s, iou_threshold):
+    """Greedy keep-set for score-DESC-sorted boxes via Jacobi fixpoint
+    (see nms_fixpoint). ok_s rows that are False never keep/suppress."""
+    n = b.shape[0]
+    iou = _pairwise_iou(b, b)
+    tri = jnp.tril(jnp.ones((n, n), bool), k=-1)  # j < i (rows j, cols i)
+    sup = (iou > iou_threshold) & tri.T & ok_s[:, None] & ok_s[None, :]
+
+    def cond(state):
+        keep, changed, it = state
+        return changed & (it < n)
+
+    def body(state):
+        keep, _, it = state
+        new_keep = ok_s & ~jnp.any(sup & keep[:, None], axis=0)
+        return new_keep, jnp.any(new_keep != keep), it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (ok_s, jnp.asarray(True), jnp.int32(0)))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("max_out", "block"))
+def nms_blocked(boxes: jnp.ndarray, scores: jnp.ndarray,
+                iou_threshold: float, max_out: int,
+                valid_mask: Optional[jnp.ndarray] = None,
+                score_threshold: float = float("-inf"),
+                block: int = NMS_BLOCK) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS for large N without the O(N^2) matrix or the
+    O(max_out) sequential pick-loop.
+
+    Score-sorted boxes are processed in `block`-wide chunks: a chunk's
+    boxes are first suppressed by the KEPT boxes of all earlier chunks
+    (one (prefix, block) IoU pass — greedy suppression only ever comes
+    from kept boxes), then the chunk is resolved internally with the
+    Jacobi fixpoint. Identical keep-set to the sequential algorithm;
+    a handful of large VPU ops instead of max_out tiny dispatch-bound
+    steps (the 12k-box global tile-merge was pick-loop-bound,
+    PARITY round-2 NMS notes).
+    """
+    n = boxes.shape[0]
+    scores = scores.astype(jnp.float32)
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, NEG_INF)
+    scores = jnp.where(scores > score_threshold, scores, NEG_INF)
+    ok = scores > NEG_INF
+
+    n_pad = ((n + block - 1) // block) * block
+    pad = n_pad - n
+    order = jnp.argsort(-scores)
+    b = jnp.pad(boxes[order], ((0, pad), (0, 0)))
+    ok_s = jnp.pad(ok[order], (0, pad))
+
+    keep = jnp.zeros((n_pad,), bool)
+    for bi in range(n_pad // block):
+        lo = bi * block
+        blk = jax.lax.dynamic_slice_in_dim(b, lo, block)
+        ok_blk = jax.lax.dynamic_slice_in_dim(ok_s, lo, block)
+        if bi > 0:
+            prev_b = b[:lo]
+            prev_keep = keep[:lo]
+            cross = _pairwise_iou(blk, prev_b) > iou_threshold
+            pre_sup = jnp.any(cross & prev_keep[None, :], axis=1)
+            ok_blk = ok_blk & ~pre_sup
+        keep_blk = _fixpoint_sorted(blk, ok_blk, iou_threshold)
+        keep = jax.lax.dynamic_update_slice_in_dim(keep, keep_blk, lo, 0)
+
+    keep = keep[:n_pad - pad] if pad else keep
+    sorted_scores = jnp.pad(scores[order], (0, pad))[:n_pad - pad] \
+        if pad else scores[order]
+    num_kept = jnp.minimum(keep.sum().astype(jnp.int32), max_out)
+    rank_score = jnp.where(keep, sorted_scores, NEG_INF)
+    k = min(max_out, n)
+    _, kept_pos = jax.lax.top_k(rank_score, k)
+    kept_valid = jnp.take(keep, kept_pos)
+    keep_idx = jnp.where(kept_valid, order[kept_pos], -1).astype(jnp.int32)
+    if k < max_out:
+        keep_idx = jnp.concatenate(
+            [keep_idx, jnp.full((max_out - k,), -1, jnp.int32)])
+    return keep_idx, num_kept
 
 
 @partial(jax.jit, static_argnames=("max_out",))
@@ -158,7 +232,34 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, idxs: jnp.ndarray,
     if boxes.shape[0] <= FIXPOINT_MAX_N:
         return nms_fixpoint(shifted, scores, iou_threshold, max_out,
                             valid_mask, score_threshold)
-    return nms(shifted, scores, iou_threshold, max_out, valid_mask, score_threshold)
+    # Above the fixpoint bound, stay on the pick-loop: this function is
+    # called under vmap from per-image decode paths, where the blocked
+    # path's (B, block, N) transients multiply by the batch and the
+    # while_loops serialize badly (97 ms vs 8 ms measured at B=2, N=12k;
+    # OOM-crashed the worker at B=24). Un-vmapped large-N callers (global
+    # tile merge) use batched_nms_large below.
+    return nms(shifted, scores, iou_threshold, max_out, valid_mask,
+               score_threshold)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def batched_nms_large(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      idxs: jnp.ndarray, iou_threshold: float, max_out: int,
+                      valid_mask: Optional[jnp.ndarray] = None,
+                      score_threshold: float = float("-inf")
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-aware exact NMS for large N at UN-VMAPPED call sites (the
+    global cross-tile merge): offset trick + nms_blocked — 2.1x faster
+    than the pick-loop at N=12k (5.5 vs 11.7 ms on v5e). Do NOT call
+    under vmap; use batched_nms there (see routing note above)."""
+    max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    if boxes.shape[0] <= FIXPOINT_MAX_N:
+        return nms_fixpoint(shifted, scores, iou_threshold, max_out,
+                            valid_mask, score_threshold)
+    return nms_blocked(shifted, scores, iou_threshold, max_out, valid_mask,
+                       score_threshold)
 
 
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,

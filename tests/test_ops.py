@@ -324,3 +324,59 @@ def test_roi_align_multilevel_boundary_rois():
         sel = (lvls == i).astype(r.dtype)[:, None, None, None]
         want = r * sel if want is None else want + r * sel
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_nms_blocked_exact_vs_pick_loop():
+    """nms_blocked (large-N global tile merge path) produces the EXACT
+    sequential greedy keep-set: cross-block suppression from kept boxes +
+    intra-block fixpoint == pick-loop, including multi-block chains and
+    non-multiple-of-block sizes."""
+    import numpy as np
+
+    from pointtinybenchmark_tpu.ops.nms import nms, nms_blocked
+
+    rng = np.random.RandomState(0)
+    for n in (300, 4097, 5000):
+        c = rng.rand(n, 2) * 600
+        wh = rng.rand(n, 2) * 60 + 4
+        boxes = np.concatenate([c, c + wh], -1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        k1, n1 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 600,
+                     jnp.asarray(valid))
+        k2, n2 = nms_blocked(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                             600, jnp.asarray(valid))
+        assert int(n1) == int(n2)
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    # dense overlapping cluster: long suppression chains across blocks
+    n = 4500
+    c = rng.rand(n, 2) * 40
+    wh = rng.rand(n, 2) * 30 + 10
+    boxes = np.concatenate([c, c + wh], -1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    k1, n1 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 400)
+    k2, n2 = nms_blocked(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 400)
+    assert int(n1) == int(n2)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_batched_nms_large_classwise():
+    """batched_nms_large (un-vmapped global-merge path) == batched_nms
+    keep-set with class separation at large N."""
+    import numpy as np
+
+    from pointtinybenchmark_tpu.ops.nms import batched_nms, batched_nms_large
+
+    rng = np.random.RandomState(1)
+    n = 9000
+    c = rng.rand(n, 2) * 500
+    wh = rng.rand(n, 2) * 50 + 5
+    boxes = jnp.asarray(np.concatenate([c, c + wh], -1), np.float32)
+    scores = jnp.asarray(rng.rand(n), np.float32)
+    labels = jnp.asarray(rng.randint(0, 3, n))
+    valid = jnp.asarray(rng.rand(n) > 0.15)
+    k1, n1 = batched_nms(boxes, scores, labels, 0.5, 800, valid_mask=valid)
+    k2, n2 = batched_nms_large(boxes, scores, labels, 0.5, 800,
+                               valid_mask=valid)
+    assert int(n1) == int(n2)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
