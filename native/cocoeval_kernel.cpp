@@ -97,3 +97,62 @@ void greedy_match(const double* ious, int64_t n_det, int64_t n_gt,
 }
 
 }  // extern "C"
+
+// RLE-domain mask IoU — the counterpart of pycocotools' rleIou/rleArea
+// (maskApi.c): intersection computed by a two-pointer merge of the two
+// column-major run lists, never densifying the masks. O(runs_d + runs_g)
+// per pair vs O(H*W) for the bitmap formulation.
+//
+// Inputs: concatenated uncompressed counts (alternating 0-runs/1-runs,
+// column-major order, pycocotools convention) with per-mask offsets
+// (n+1 entries, offs[i]..offs[i+1] spans mask i's counts). iscrowd gt
+// columns use union = area(dt) (IoD), matching maskUtils.iou.
+static double rle_area(const int64_t* cnts, int64_t n) {
+    double a = 0;
+    for (int64_t i = 1; i < n; i += 2) a += (double)cnts[i];
+    return a;
+}
+
+static double rle_intersection(const int64_t* ca, int64_t na,
+                               const int64_t* cb, int64_t nb) {
+    // positions advance through alternating runs; value of run i is i&1
+    double inter = 0;
+    int64_t ia = 0, ib = 0;
+    int64_t ra = na > 0 ? ca[0] : 0;   // remaining length of current a-run
+    int64_t rb = nb > 0 ? cb[0] : 0;
+    while (ia < na && ib < nb) {
+        // skip exhausted runs (zero-length runs are legal in RLE)
+        if (ra == 0) { if (++ia < na) ra = ca[ia]; continue; }
+        if (rb == 0) { if (++ib < nb) rb = cb[ib]; continue; }
+        const int64_t step = ra < rb ? ra : rb;
+        if ((ia & 1) && (ib & 1)) inter += (double)step;
+        ra -= step;
+        rb -= step;
+    }
+    return inter;
+}
+
+extern "C" void rle_iou_matrix(
+                    const int64_t* d_cnts, const int64_t* d_offs,
+                    int64_t n_det,
+                    const int64_t* g_cnts, const int64_t* g_offs,
+                    int64_t n_gt,
+                    const uint8_t* iscrowd,
+                    double* out) {
+    std::vector<double> d_area(n_det), g_area(n_gt);
+    for (int64_t d = 0; d < n_det; ++d)
+        d_area[d] = rle_area(d_cnts + d_offs[d], d_offs[d + 1] - d_offs[d]);
+    for (int64_t g = 0; g < n_gt; ++g)
+        g_area[g] = rle_area(g_cnts + g_offs[g], g_offs[g + 1] - g_offs[g]);
+    for (int64_t d = 0; d < n_det; ++d) {
+        const int64_t* ca = d_cnts + d_offs[d];
+        const int64_t na = d_offs[d + 1] - d_offs[d];
+        for (int64_t g = 0; g < n_gt; ++g) {
+            const double inter = rle_intersection(
+                ca, na, g_cnts + g_offs[g], g_offs[g + 1] - g_offs[g]);
+            const double denom = iscrowd[g]
+                ? d_area[d] : (d_area[d] + g_area[g] - inter);
+            out[d * n_gt + g] = denom > 0 ? inter / denom : 0.0;
+        }
+    }
+}

@@ -136,6 +136,11 @@ def mask_iou(dt: List[RLE], gt: List[RLE],
     D, G = len(dt), len(gt)
     if D == 0 or G == 0:
         return np.zeros((D, G))
+    from .native import rle_iou_native
+    out = rle_iou_native([_rle_counts(r) for r in dt],
+                         [_rle_counts(r) for r in gt], list(iscrowd))
+    if out is not None:
+        return out
     dm = np.stack([rle_decode(r).astype(bool).ravel() for r in dt])  # (D,P)
     gm = np.stack([rle_decode(r).astype(bool).ravel() for r in gt])  # (G,P)
     inter = (dm.astype(np.float64) @ gm.T.astype(np.float64))        # (D,G)

@@ -15,7 +15,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["get_lib", "iou_matrix_native", "greedy_match_native"]
+__all__ = ["get_lib", "iou_matrix_native", "greedy_match_native",
+           "rle_iou_native"]
 
 _NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.dirname(
     osp.abspath(__file__)))), "native")
@@ -50,6 +51,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.greedy_match.argtypes = [c_d, ctypes.c_int64, ctypes.c_int64,
                                      c_u8, c_u8, c_d, c_d, ctypes.c_int64,
                                      ctypes.c_int, c_i64, c_i64, c_u8]
+        lib.rle_iou_matrix.argtypes = [c_i64, c_i64, ctypes.c_int64,
+                                       c_i64, c_i64, ctypes.c_int64,
+                                       c_u8, c_d]
         _lib = lib
     except OSError:
         _lib = None
@@ -100,3 +104,31 @@ def greedy_match_native(ious: np.ndarray, gt_ignore: np.ndarray,
                      _ptr(dtm, ctypes.c_int64), _ptr(gtm, ctypes.c_int64),
                      _ptr(dig, ctypes.c_uint8))
     return dtm, gtm, dig
+
+
+def rle_iou_native(dt_counts, gt_counts, iscrowd) -> Optional[np.ndarray]:
+    """Mask IoU straight on RLE run lists (pycocotools maskApi rleIou
+    semantics, O(runs) two-pointer merge per pair — no densify).
+
+    dt_counts/gt_counts: lists of per-mask uncompressed counts sequences.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    d_offs = np.zeros(len(dt_counts) + 1, np.int64)
+    g_offs = np.zeros(len(gt_counts) + 1, np.int64)
+    d_offs[1:] = np.cumsum([len(c) for c in dt_counts])
+    g_offs[1:] = np.cumsum([len(c) for c in gt_counts])
+    d_cnts = (np.concatenate([np.asarray(c, np.int64) for c in dt_counts])
+              if len(dt_counts) else np.zeros(0, np.int64))
+    g_cnts = (np.concatenate([np.asarray(c, np.int64) for c in gt_counts])
+              if len(gt_counts) else np.zeros(0, np.int64))
+    crowd = np.ascontiguousarray(iscrowd, np.uint8)
+    out = np.zeros((len(dt_counts), len(gt_counts)), np.float64)
+    lib.rle_iou_matrix(_ptr(np.ascontiguousarray(d_cnts), ctypes.c_int64),
+                       _ptr(d_offs, ctypes.c_int64), len(dt_counts),
+                       _ptr(np.ascontiguousarray(g_cnts), ctypes.c_int64),
+                       _ptr(g_offs, ctypes.c_int64), len(gt_counts),
+                       _ptr(crowd, ctypes.c_uint8),
+                       _ptr(out, ctypes.c_double))
+    return out
