@@ -378,3 +378,110 @@ def test_atss_learns_synthetic_squares():
             best = max(best, inter / max(a1 + a2 - inter, 1e-6))
         hits += best > 0.3
     assert hits >= b // 2, f"only {hits}/{b} top dets hit a gt"
+
+
+@pytest.mark.slow
+def test_faster_rcnn_learns_synthetic_squares():
+    """Two-stage path (the 49.81-AP50 protocol flagship, reference
+    faster_rcnn_r50_fpn_1x_TinyPerson640.py shape): RPN + RoI head must
+    learn bright squares — catches proposal/sampling/second-stage decode
+    errors the shape tests can't."""
+    model = build_detector(
+        dict(type="FasterRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=16,
+                           norm_eval=False),
+             neck=dict(type="FPN", in_channels=[16, 32, 64, 128],
+                       out_channels=32, num_outs=5),
+             rpn_head=dict(
+                 type="RPNHead", num_classes=1, in_channels=32,
+                 feat_channels=32,
+                 anchor_generator=dict(type="AnchorGenerator", scales=[2],
+                                       ratios=[1.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                               loss_weight=1.0),
+                 loss_bbox=dict(type="L1Loss", loss_weight=1.0)),
+             roi_head=dict(
+                 type="StandardRoIHead",
+                 bbox_roi_extractor=dict(
+                     roi_layer=dict(type="RoIAlign", output_size=7,
+                                    sampling_ratio=1),
+                     out_channels=32, featmap_strides=[4, 8, 16, 32]),
+                 bbox_head=dict(type="Shared2FCBBoxHead", num_classes=1,
+                                in_channels=32, fc_out_channels=64,
+                                roi_feat_size=7))),
+        dict(rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                    neg_iou_thr=0.3, min_pos_iou=0.3),
+                      sampler=dict(type="RandomSampler", num=64,
+                                   pos_fraction=0.5),
+                      pos_weight=-1),
+             rpn_proposal=dict(nms_pre=256, max_per_img=64,
+                               nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0.5),
+                       sampler=dict(type="RandomSampler", num=64,
+                                    pos_fraction=0.25,
+                                    add_gt_as_proposals=True),
+                       pos_weight=-1)),
+        dict(rpn=dict(nms_pre=256, max_per_img=64,
+                      nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=dict(score_thr=0.2, nms=dict(iou_threshold=0.5),
+                       max_per_img=10)))
+
+    imgs, boxes, valids = _make_data(seed=3)
+    b = 8
+    tx = optax.adam(1e-3)
+    batch0 = dict(img=jnp.asarray(imgs[:b]))
+    params, batch_stats = init_model(model, batch0)
+    state = dict(params=params, batch_stats=batch_stats,
+                 opt_state=tx.init(params), step=jnp.int32(0))
+    train_step = make_train_step(model, tx)
+
+    rng = jax.random.PRNGKey(0)
+    n = len(imgs)
+    first_loss = last_loss = None
+    for step in range(150):
+        sel = np.random.RandomState(1000 + step).choice(n, b, replace=False)
+        batch = dict(img=jnp.asarray(imgs[sel]),
+                     gt_bboxes=jnp.asarray(boxes[sel]),
+                     gt_labels=jnp.zeros((b, boxes.shape[1]), jnp.int32),
+                     gt_valid=jnp.asarray(valids[sel]),
+                     img_shape=jnp.tile(jnp.asarray([[64, 64]], jnp.int32),
+                                        (b, 1)))
+        rng, k = jax.random.split(rng)
+        state, metrics = train_step(state, batch, k)
+        loss = float(metrics["loss"])
+        if first_loss is None:
+            first_loss = loss
+        last_loss = loss
+    assert last_loss < first_loss * 0.6, (first_loss, last_loss)
+
+    variables = {"params": state["params"]}
+    if state["batch_stats"]:
+        variables["batch_stats"] = state["batch_stats"]
+    out = model.apply(variables, jnp.asarray(imgs[:b]),
+                      jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+                      method=model.simple_test)
+    dets = out
+    while not hasattr(dets, "bboxes"):
+        dets = dets[0]
+    db = np.asarray(dets.bboxes)
+    dv = np.asarray(dets.valid)
+    hits = 0
+    for i in range(b):
+        if not dv[i].any():
+            continue
+        top = db[i][dv[i]][0]
+        gts = boxes[i][valids[i]]
+        ious = []
+        for g in gts:
+            ix1, iy1 = max(top[0], g[0]), max(top[1], g[1])
+            ix2, iy2 = min(top[2], g[2]), min(top[3], g[3])
+            inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+            a1 = (top[2] - top[0]) * (top[3] - top[1])
+            a2 = (g[2] - g[0]) * (g[3] - g[1])
+            ious.append(inter / max(a1 + a2 - inter, 1e-6))
+        hits += max(ious) > 0.3
+    assert hits >= b // 2, f"only {hits}/{b} top detections hit a gt"
