@@ -1,6 +1,14 @@
 #!/usr/bin/env python
-"""Convert torch ResNet checkpoints (torchvision or mmdet `backbone.*`) into
-this framework's flax parameter tree.
+"""Convert torch checkpoints into this framework's flax parameter tree.
+
+Two modes:
+- backbone (default for plain ResNet state_dicts): torchvision / mmdet
+  `backbone.*` ResNet -> backbone param tree.
+- full detector (auto-detected via neck./rpn_head./bbox_head./roi_head.
+  keys, or --full): a trained mmdet Faster R-CNN / RetinaNet checkpoint
+  (the TinyPerson protocol models) -> the complete detector tree
+  (backbone_m/neck_m/rpn_head_m/roi_head_m or bbox_head_m), so reference
+  users can bring their trained weights across.
 
 Parity role: the reference loads ImageNet-pretrained torch backbones via
 `init_cfg`/`load_from` (mmdet models/backbones/resnet.py + mmcv
@@ -83,11 +91,122 @@ def convert_resnet_state_dict(sd, depth: int):
     return params, stats
 
 
+
+
+def _conv_w(w):
+    return np.transpose(np.asarray(w), (2, 3, 1, 0)).astype(np.float32)
+
+
+def _fc_w(w):
+    return np.transpose(np.asarray(w), (1, 0)).astype(np.float32)
+
+
+def _put(tree, path, val):
+    d = tree
+    for p in path[:-1]:
+        d = d.setdefault(p, {})
+    d[path[-1]] = val
+
+
+def convert_detector_state_dict(sd, depth: int):
+    """Full mmdet detector state_dict -> this framework's flax tree.
+
+    Covers the TinyPerson protocol models (reference
+    configs2/TinyPerson/base/*): backbone ResNet -> backbone_m, FPN neck ->
+    neck_m, RPNHead -> rpn_head_m, Shared2FCBBoxHead ->
+    roi_head_m/bbox_head_m, RetinaHead -> bbox_head_m. Conv kernels go
+    OIHW->HWIO; linear weights transpose; the FIRST shared fc additionally
+    permutes its input dim from torch's (C, 7, 7) roi-flatten order to our
+    (7, 7, C) channel-last order. Returns (params, batch_stats, unmapped).
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k:
+          np.asarray(v) for k, v in sd.items()}
+    params, stats = {}, {}
+    unmapped = []
+
+    bb = {k[len("backbone."):]: v for k, v in sd.items()
+          if k.startswith("backbone.")}
+    if bb:
+        p_bb, s_bb = convert_resnet_state_dict(bb, depth)
+        params["backbone_m"] = p_bb
+        stats["backbone_m"] = s_bb
+
+    for k, v in sd.items():
+        if k.startswith("backbone."):
+            continue
+        parts = k.split(".")
+        if k.startswith("neck.lateral_convs.") or \
+                k.startswith("neck.fpn_convs."):
+            i, leaf = int(parts[2]), parts[-1]
+            name = ("lateral_conv" if "lateral" in parts[1]
+                    else "fpn_conv") + str(i)
+            if leaf == "weight":
+                _put(params, ["neck_m", name, "kernel"], _conv_w(v))
+            else:
+                _put(params, ["neck_m", name, "bias"], v.astype(np.float32))
+        elif k.startswith("rpn_head."):
+            name, leaf = parts[1], parts[-1]
+            if name in ("rpn_conv", "rpn_cls", "rpn_reg"):
+                _put(params, ["rpn_head_m", name,
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(v) if leaf == "weight"
+                     else v.astype(np.float32))
+            else:
+                unmapped.append(k)
+        elif k.startswith("roi_head.bbox_head."):
+            leaf = parts[-1]
+            scope = ["roi_head_m", "bbox_head_m"]
+            if parts[2] == "shared_fcs":
+                i = int(parts[3])
+                if leaf == "weight" and i == 0:
+                    o, flat = v.shape
+                    c = flat // 49
+                    w = v.reshape(o, c, 7, 7).transpose(2, 3, 1, 0)
+                    _put(params, scope + ["shared_fc0", "kernel"],
+                         w.reshape(49 * c, o).astype(np.float32))
+                elif leaf == "weight":
+                    _put(params, scope + [f"shared_fc{i}", "kernel"],
+                         _fc_w(v))
+                else:
+                    _put(params, scope + [f"shared_fc{i}", "bias"],
+                         v.astype(np.float32))
+            elif parts[2] in ("fc_cls", "fc_reg"):
+                _put(params, scope + [parts[2],
+                                      "kernel" if leaf == "weight"
+                                      else "bias"],
+                     _fc_w(v) if leaf == "weight"
+                     else v.astype(np.float32))
+            else:
+                unmapped.append(k)
+        elif k.startswith("bbox_head."):
+            leaf = parts[-1]
+            if parts[1] in ("cls_convs", "reg_convs"):
+                i = int(parts[2])
+                name = parts[1][:3] + f"_conv{i}"
+                _put(params, ["bbox_head_m", name, "Conv_0",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(v) if leaf == "weight"
+                     else v.astype(np.float32))
+            elif parts[1] in ("retina_cls", "retina_reg"):
+                _put(params, ["bbox_head_m", parts[1],
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_w(v) if leaf == "weight"
+                     else v.astype(np.float32))
+            else:
+                unmapped.append(k)
+        else:
+            unmapped.append(k)
+    return params, stats, unmapped
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("src", help="torch .pth checkpoint")
     p.add_argument("dst", help="output .ckpt (flax msgpack)")
     p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--full", action="store_true",
+                   help="convert a full mmdet detector checkpoint "
+                        "(neck + heads), not just the backbone")
     args = p.parse_args()
 
     import torch
@@ -95,7 +214,14 @@ def main():
     sd = raw.get("state_dict", raw.get("model", raw))
     sd = {k: v.numpy() for k, v in sd.items()
           if hasattr(v, "numpy")}
-    params, stats = convert_resnet_state_dict(sd, args.depth)
+    if args.full or any(k.startswith(("neck.", "rpn_head.", "bbox_head.",
+                                      "roi_head.")) for k in sd):
+        params, stats, unmapped = convert_detector_state_dict(sd, args.depth)
+        if unmapped:
+            print(f"warning: {len(unmapped)} unmapped keys "
+                  f"(first: {unmapped[:5]})")
+    else:
+        params, stats = convert_resnet_state_dict(sd, args.depth)
 
     from pointtinybenchmark_tpu.engine.checkpoint import save_checkpoint
     save_checkpoint(args.dst,
