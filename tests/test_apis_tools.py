@@ -270,3 +270,50 @@ def test_eval_metric_tool(tiny_workspace, tmp_path):
     # add an evaluation section via cfg-options-free path: default coco std
     stats = mod.evaluate_file(tiny_workspace["cfg"], str(res))
     assert any(v == 1.0 for v in stats.values())  # perfect dets -> AP 1.0
+
+
+def test_deployment_export_then_test(tiny_workspace, tmp_path, monkeypatch):
+    """export_model.py -> deployment/test.py: the serialized StableHLO
+    serving artifact runs the dataset through dataset.evaluate (reference
+    tools/deployment/test.py role for ONNX/TensorRT artifacts)."""
+    import importlib.util
+
+    def run_tool(rel, argv):
+        spec = importlib.util.spec_from_file_location(
+            rel.replace("/", "_"), osp.join(TOOLS, rel))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(sys, "argv", ["x"] + argv)
+        mod.main()
+
+    art = str(tmp_path / "m.stablehlo")
+    run_tool("deployment/export_model.py",
+             [tiny_workspace["cfg"], "--out", art, "--batch-size", "2"])
+    assert osp.getsize(art) > 1000
+    out_json = str(tmp_path / "dets.json")
+    run_tool("deployment/test.py",
+             [tiny_workspace["cfg"], art, "--split", "test",
+              "--eval", "bbox", "--out", out_json])
+    dets = json.load(open(out_json))
+    assert isinstance(dets, list)
+
+
+def test_robustness_eval_tool(tmp_path, monkeypatch):
+    """robustness_eval.py summarizer (reference analysis_tools/
+    robustness_eval.py): P / mPC / rPC from the saved table."""
+    import importlib.util
+
+    table = {"gaussian_noise": {"0": 0.5, "1": 0.4, "2": 0.3},
+             "fog": {"0": 0.5, "1": 0.45, "2": 0.35}}
+    f = tmp_path / "rob.json"
+    f.write_text(json.dumps(table))
+    spec = importlib.util.spec_from_file_location(
+        "robustness_eval", osp.join(TOOLS, "analysis_tools",
+                                    "robustness_eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    P, mPC, rPC, per = mod.summarize(table)
+    assert abs(P - 0.5) < 1e-9
+    assert abs(mPC - ((0.35 + 0.4) / 2)) < 1e-9
+    monkeypatch.setattr(sys, "argv", ["x", str(f)])
+    mod.main()
