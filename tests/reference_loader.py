@@ -196,3 +196,13 @@ def ref_assigners():
     at = load_ref("core/bbox/assigners/atss_assigner.py", dict(extra))
     return types.SimpleNamespace(MaxIoUAssigner=mx.MaxIoUAssigner,
                                  ATSSAssigner=at.ATSSAssigner)
+
+
+@lru_cache(maxsize=None)
+def ref_point_assigner():
+    iou2d = load_ref("core/bbox/iou_calculators/iou2d_calculator.py")
+    ar = load_ref("core/bbox/assigners/assign_result.py",
+                  dict(util_mixins=types.SimpleNamespace(NiceRepr=object)))
+    return load_ref("core/bbox/assigners/point_assigner.py",
+                    dict(AssignResult=ar.AssignResult, BaseAssigner=object,
+                         build_iou_calculator=lambda c: iou2d.BboxOverlaps2D()))

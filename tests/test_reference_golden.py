@@ -606,3 +606,50 @@ def test_atss_assign_golden():
         theirs = ref.ATSSAssigner(topk=9).assign(
             t(anchors), level_sizes, t(gts)).gt_inds.numpy()
         np.testing.assert_array_equal(ours, theirs), trial
+
+
+def test_point_assigner_golden():
+    """point_assign (RepPoints; reference point_assigner.py:9-134):
+    identical assignment on jittered multi-level point grids."""
+    from pointtinybenchmark_tpu.models.dense_heads.reppoints_head import (
+        point_assign)
+    ref = R.ref_point_assigner()
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        pts, strides = [], []
+        for stride, hw in ((8, 8), (16, 4), (32, 2)):
+            ys, xs = np.mgrid[:hw, :hw] * stride + stride / 2
+            c = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+            c += rng.rand(*c.shape).astype(np.float32) * 3 - 1.5
+            pts.append(c)
+            strides.append(np.full(len(c), stride, np.float32))
+        points = np.concatenate(pts)
+        strides = np.concatenate(strides)
+        g = 6
+        gts = np.concatenate([rng.rand(g, 2) * 40,
+                              rng.rand(g, 2) * 30 + 4], -1).astype(np.float32)
+        gts[:, 2:] += gts[:, :2]
+        ours = np.asarray(point_assign(jnp.asarray(points), strides,
+                                       jnp.asarray(gts), jnp.ones(g, bool),
+                                       scale=4.0, pos_num=3))
+        pts3 = np.concatenate([points, strides[:, None]], -1)
+        theirs = ref.PointAssigner(scale=4, pos_num=3).assign(
+            t(pts3), t(gts)).gt_inds.numpy()
+        np.testing.assert_array_equal(ours, theirs), trial
+
+
+def test_standard_anchor_generator_golden():
+    """AnchorGenerator grid coordinates == reference
+    core/anchor/anchor_generator.py (V2 conventions) per level."""
+    from pointtinybenchmark_tpu.core.anchors import AnchorGenerator
+    ref_mod = R.ref_anchor_generator()
+    cfg = dict(scales=[2, 4], ratios=[0.5, 1.0, 2.0], strides=[4, 8])
+    ours = AnchorGenerator(**cfg)
+    theirs = ref_mod.AnchorGenerator(**cfg)
+    sizes = [(6, 5), (3, 3)]
+    ref_all = theirs.grid_anchors([torch.Size(s) for s in sizes],
+                                  device="cpu")
+    got_all = ours.grid_anchors(sizes)
+    for lvl in range(2):
+        np.testing.assert_allclose(np.asarray(got_all[lvl]),
+                                   ref_all[lvl].numpy(), atol=1e-4)
