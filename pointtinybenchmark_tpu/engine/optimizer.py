@@ -19,8 +19,11 @@ __all__ = ["build_optimizer", "build_lr_schedule"]
 
 
 def build_lr_schedule(base_lr: float, lr_config: Optional[dict],
-                      iters_per_epoch: int, max_epochs: int):
-    """Returns an optax schedule fn step -> lr."""
+                      iters_per_epoch: int, max_epochs: int,
+                      by_epoch: bool = True):
+    """Returns an optax schedule fn step -> lr. `by_epoch=False`
+    (IterBasedRunner) interprets `step=[...]` boundaries as iterations
+    (mmcv StepLrUpdaterHook by_epoch semantics)."""
     lr_config = dict(lr_config or {})
     policy = lr_config.get("policy", "fixed")
     warmup = lr_config.get("warmup")
@@ -35,9 +38,10 @@ def build_lr_schedule(base_lr: float, lr_config: Optional[dict],
         step = jnp.asarray(step)
         epoch = step // max(iters_per_epoch, 1)
         if policy == "step":
+            ref = epoch if by_epoch else step
             mult = jnp.asarray(1.0)
             for s in steps:
-                mult = mult * jnp.where(epoch >= s, gamma, 1.0)
+                mult = mult * jnp.where(ref >= s, gamma, 1.0)
             lr = base_lr * mult
         elif policy == "cosine" or policy == "CosineAnnealing":
             total = max(iters_per_epoch * max_epochs, 1)
@@ -143,7 +147,8 @@ def build_optimizer(optimizer_cfg: dict,
                     lr_config: Optional[dict] = None,
                     iters_per_epoch: int = 1,
                     max_epochs: int = 12,
-                    param_mask=None) -> optax.GradientTransformation:
+                    param_mask=None,
+                    by_epoch: bool = True) -> optax.GradientTransformation:
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop("type", "SGD")
     base_lr = float(cfg.pop("lr"))
@@ -151,9 +156,9 @@ def build_optimizer(optimizer_cfg: dict,
     if paramwise_cfg:
         return _build_paramwise(opt_type, base_lr, cfg, dict(paramwise_cfg),
                                 optimizer_config, lr_config, iters_per_epoch,
-                                max_epochs, param_mask)
+                                max_epochs, param_mask, by_epoch)
     schedule = build_lr_schedule(base_lr, lr_config, iters_per_epoch,
-                                 max_epochs)
+                                 max_epochs, by_epoch)
 
     chain = []
     grad_clip = (optimizer_config or {}).get("grad_clip")
@@ -191,7 +196,8 @@ def _apply_frozen(tx, param_mask):
 
 
 def _build_paramwise(opt_type, base_lr, cfg, paramwise_cfg, optimizer_config,
-                     lr_config, iters_per_epoch, max_epochs, param_mask):
+                     lr_config, iters_per_epoch, max_epochs, param_mask,
+                     by_epoch: bool = True):
     """paramwise_cfg path: decompose the optimizer so lr_mult scales the
     final update and decay_mult scales the weight-decay term per leaf —
     mmcv DefaultOptimizerConstructor parity (torch param-group semantics).
@@ -200,7 +206,7 @@ def _build_paramwise(opt_type, base_lr, cfg, paramwise_cfg, optimizer_config,
     the momentum/adam statistics; AdamW decays decoupled, after adam."""
     mults = _paramwise_mults_fn(paramwise_cfg)
     schedule = build_lr_schedule(base_lr, lr_config, iters_per_epoch,
-                                 max_epochs)
+                                 max_epochs, by_epoch)
     wd = float(cfg.pop("weight_decay", 0.0))
     chain = []
     grad_clip = (optimizer_config or {}).get("grad_clip")

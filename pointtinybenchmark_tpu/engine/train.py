@@ -158,7 +158,16 @@ def train_detector(model, dataset, cfg, work_dir: str,
     iters_per_epoch = len(loader)
 
     runner_cfg = cfg.get("runner", dict(type="EpochBasedRunner", max_epochs=12))
-    max_epochs = int(runner_cfg.get("max_epochs", 12))
+    iter_based = (str(runner_cfg.get("type", "EpochBasedRunner"))
+                  == "IterBasedRunner")
+    if iter_based:
+        # mmcv IterBasedRunner: max_iters total steps; lr step boundaries,
+        # checkpoint/eval intervals are ITERATIONS (by_epoch=False)
+        max_iters = int(runner_cfg["max_iters"])
+        max_epochs = max(1, -(-max_iters // max(iters_per_epoch, 1)))
+    else:
+        max_iters = None
+        max_epochs = int(runner_cfg.get("max_epochs", 12))
 
     sample = next(iter(loader))
     params, batch_stats = init_model(model, sample, seed)
@@ -170,7 +179,7 @@ def train_detector(model, dataset, cfg, work_dir: str,
             if frozen_stages >= 0 else None)
     tx = build_optimizer(cfg["optimizer"], cfg.get("optimizer_config"),
                          cfg.get("lr_config"), iters_per_epoch, max_epochs,
-                         param_mask=mask)
+                         param_mask=mask, by_epoch=not iter_based)
     state = dict(params=params, batch_stats=batch_stats,
                  opt_state=tx.init(params), step=jnp.int32(0),
                  nan_seen=jnp.bool_(False))
@@ -207,6 +216,8 @@ def train_detector(model, dataset, cfg, work_dir: str,
         if exit_after_eval:
             return state
 
+    gstep = start_epoch * iters_per_epoch
+    stop_now = False
     for epoch in range(start_epoch, max_epochs):
         loader.set_epoch(epoch)
         t0 = time.perf_counter()
@@ -217,6 +228,19 @@ def train_detector(model, dataset, cfg, work_dir: str,
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, dev, step_rng)
             pending = metrics
+            gstep += 1
+            if iter_based:
+                if gstep % ckpt_interval == 0 or gstep == max_iters:
+                    path = osp.join(work_dir, f"iter_{gstep}.ckpt")
+                    save_checkpoint(path, jax.device_get(state),
+                                    meta=dict(epoch=epoch + 1, iter=gstep))
+                    logger.info("saved %s", path)
+                if (validate and eval_fn is not None
+                        and gstep % eval_interval == 0
+                        and gstep != max_iters):
+                    logger.info("eval iter %d: %s", gstep, eval_fn(state))
+                if gstep >= max_iters:
+                    stop_now = True
             if (it + 1) % log_interval == 0 or it == iters_per_epoch - 1:
                 vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 dt = (time.perf_counter() - t0) / (it + 1)
@@ -237,16 +261,24 @@ def train_detector(model, dataset, cfg, work_dir: str,
                     # of the last finite step (uncorrupted).
                     logger.error("loss went NaN — stopping (exit 254)")
                     sys.exit(254)
+            if stop_now:
+                break
         del pending
+        if stop_now:
+            if validate and eval_fn is not None and do_final_eval:
+                logger.info("eval (final, iter %d): %s", gstep,
+                            eval_fn(state))
+            break
 
-        if (epoch + 1) % ckpt_interval == 0 or epoch + 1 == max_epochs:
+        if not iter_based and ((epoch + 1) % ckpt_interval == 0
+                               or epoch + 1 == max_epochs):
             path = osp.join(work_dir, f"epoch_{epoch + 1}.ckpt")
             save_checkpoint(path, jax.device_get(state),
                             meta=dict(epoch=epoch + 1))
             logger.info("saved %s", path)
 
         is_last = epoch + 1 == max_epochs
-        if validate and eval_fn is not None and (
+        if not iter_based and validate and eval_fn is not None and (
                 (epoch + 1) % eval_interval == 0 or (is_last and do_final_eval)):
             metrics = eval_fn(state)
             logger.info("eval epoch %d: %s", epoch + 1, metrics)

@@ -252,3 +252,40 @@ def test_nan_step_skips_update_and_freezes_state():
     state, m = step(state, {"img": img}, rng)
     assert bool(m["nan_seen"])
     np.testing.assert_array_equal(np.asarray(state["params"]["w"]), w_before)
+
+
+def test_iter_based_runner(tiny_setup):
+    """IterBasedRunner (reference mmcv runner; e.g.
+    faster_rcnn_r50_caffe_fpn_mstrain_90k_coco.py): max_iters total steps,
+    checkpoint/eval intervals in ITERATIONS, iter_N.ckpt artifacts, lr
+    step boundaries interpreted as iterations."""
+    from pointtinybenchmark_tpu.engine import train_detector
+    from pointtinybenchmark_tpu.engine.optimizer import build_lr_schedule
+
+    calls = []
+
+    def eval_fn(state):
+        calls.append(1)
+        return {"AP50": 0.5}
+
+    cfg = dict(tiny_setup["cfg"])
+    # dataset has 4 imgs, b=1 -> 4 iters/epoch; stop mid-epoch-2 at 6
+    cfg["runner"] = dict(type="IterBasedRunner", max_iters=6)
+    cfg["checkpoint_config"] = dict(interval=2)
+    cfg["evaluation"] = dict(interval=3, do_final_eval=True)
+    wd = osp.join(tiny_setup["root"], "wd_iter")
+    train_detector(tiny_setup["model"], tiny_setup["dataset"], cfg, wd,
+                   validate=True, eval_fn=eval_fn)
+    names = sorted(os.listdir(wd))
+    assert "iter_2.ckpt" in names and "iter_4.ckpt" in names \
+        and "iter_6.ckpt" in names, names
+    # eval at iter 3 + final at stop
+    assert len(calls) == 2
+
+    # lr step boundaries in iterations when by_epoch=False
+    sch = build_lr_schedule(1.0, dict(policy="step", step=[4]),
+                            iters_per_epoch=4, max_epochs=2, by_epoch=False)
+    assert float(sch(3)) == 1.0 and abs(float(sch(5)) - 0.1) < 1e-6
+    sch_e = build_lr_schedule(1.0, dict(policy="step", step=[1]),
+                              iters_per_epoch=4, max_epochs=2, by_epoch=True)
+    assert float(sch_e(3)) == 1.0 and abs(float(sch_e(4)) - 0.1) < 1e-6
