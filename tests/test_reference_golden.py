@@ -653,3 +653,34 @@ def test_standard_anchor_generator_golden():
     for lvl in range(2):
         np.testing.assert_allclose(np.asarray(got_all[lvl]),
                                    ref_all[lvl].numpy(), atol=1e-4)
+
+
+def test_cpr_circle_geometry_golden():
+    """CPR circle-bag offsets (the heart of the benchmark; reference
+    cpr_head.py::CirclePtFeatGenerator.get_point_neighbours :473-497):
+    ring radii i*stride, base_num_point*i points per ring (or constant
+    when same_num_all_radius), start_angle in degrees, center appended
+    last — identical to the reference formula."""
+    from pointtinybenchmark_tpu.models.dense_heads.cpr_head import (
+        circle_offsets)
+
+    def ref_circle(radius, bnp, stride, start_angle=0.0, same=False):
+        chosen = []
+        for i in range(radius):
+            r = (i + 1) * stride
+            n = bnp if same else bnp * (i + 1)
+            ang = torch.arange(n).float() / n * 360 + start_angle
+            ang = ang / 360 * np.pi * 2
+            chosen.append(torch.stack([r * torch.cos(ang),
+                                       r * torch.sin(ang)], -1))
+        pts = torch.cat(chosen)
+        # reference appends the gt center as the LAST bag point
+        return torch.cat([pts, torch.zeros(1, 2)]).numpy()
+
+    for radius, bnp, stride, ang, same in [(3, 8, 4.0, 0.0, False),
+                                           (2, 6, 8.0, 15.0, False),
+                                           (4, 8, 1.0, 0.0, True)]:
+        ours = np.asarray(circle_offsets(radius, bnp, stride, ang, same))
+        ours_full = np.concatenate([ours, np.zeros((1, 2), np.float32)])
+        ref = ref_circle(radius, bnp, stride, ang, same)
+        np.testing.assert_allclose(ours_full, ref, atol=1e-5)
