@@ -29,7 +29,8 @@ import optax
 from ..data import DataLoader, DetCollator, build_dataset, prefetch_to_device
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.logging import get_root_logger
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import (load_checkpoint_any, save_checkpoint_any,
+                         wait_for_pending)
 from .optimizer import build_optimizer, frozen_param_mask
 
 __all__ = ["train_detector", "make_train_step", "init_model"]
@@ -186,12 +187,12 @@ def train_detector(model, dataset, cfg, work_dir: str,
 
     start_epoch = 0
     if resume_from:
-        ck = load_checkpoint(resume_from, state)
+        ck = load_checkpoint_any(resume_from, state)
         state = ck["state"]
         start_epoch = int(ck["meta"].get("epoch", 0))
         logger.info("resumed from %s (epoch %d)", resume_from, start_epoch)
     elif load_from:
-        ck = load_checkpoint(load_from)
+        ck = load_checkpoint_any(load_from)
         state["params"] = ck["state"]["params"]
         if ck["state"].get("batch_stats"):
             state["batch_stats"] = ck["state"]["batch_stats"]
@@ -201,7 +202,10 @@ def train_detector(model, dataset, cfg, work_dir: str,
     train_step = make_train_step(model, tx)
 
     log_interval = int(cfg.get("log_config", {}).get("interval", 50))
-    ckpt_interval = int(cfg.get("checkpoint_config", {}).get("interval", 1))
+    ckpt_cfg = dict(cfg.get("checkpoint_config", {}) or {})
+    ckpt_interval = int(ckpt_cfg.get("interval", 1))
+    ckpt_backend = str(ckpt_cfg.get("backend", "msgpack"))
+    ckpt_async = bool(ckpt_cfg.get("async_save", False))
     eval_cfg = dict(cfg.get("evaluation", {}) or {})
     eval_interval = int(eval_cfg.get("interval", 1))
     do_first_eval = bool(eval_cfg.get("do_first_eval", False))
@@ -214,6 +218,7 @@ def train_detector(model, dataset, cfg, work_dir: str,
     if do_first_eval and eval_fn is not None:
         logger.info("eval (first): %s", eval_fn(state))
         if exit_after_eval:
+            wait_for_pending()
             return state
 
     gstep = start_epoch * iters_per_epoch
@@ -232,8 +237,11 @@ def train_detector(model, dataset, cfg, work_dir: str,
             if iter_based:
                 if gstep % ckpt_interval == 0 or gstep == max_iters:
                     path = osp.join(work_dir, f"iter_{gstep}.ckpt")
-                    save_checkpoint(path, jax.device_get(state),
-                                    meta=dict(epoch=epoch + 1, iter=gstep))
+                    save_checkpoint_any(path, jax.device_get(state),
+                                        meta=dict(epoch=epoch + 1,
+                                                  iter=gstep),
+                                        backend=ckpt_backend,
+                                        async_save=ckpt_async)
                     logger.info("saved %s", path)
                 if (validate and eval_fn is not None
                         and gstep % eval_interval == 0
@@ -273,8 +281,9 @@ def train_detector(model, dataset, cfg, work_dir: str,
         if not iter_based and ((epoch + 1) % ckpt_interval == 0
                                or epoch + 1 == max_epochs):
             path = osp.join(work_dir, f"epoch_{epoch + 1}.ckpt")
-            save_checkpoint(path, jax.device_get(state),
-                            meta=dict(epoch=epoch + 1))
+            save_checkpoint_any(path, jax.device_get(state),
+                                meta=dict(epoch=epoch + 1),
+                                backend=ckpt_backend, async_save=ckpt_async)
             logger.info("saved %s", path)
 
         is_last = epoch + 1 == max_epochs
@@ -283,7 +292,9 @@ def train_detector(model, dataset, cfg, work_dir: str,
             metrics = eval_fn(state)
             logger.info("eval epoch %d: %s", epoch + 1, metrics)
             if exit_after_eval and not is_last:
+                wait_for_pending()
                 return state
+    wait_for_pending()  # commit any async orbax saves before returning
     state = jax.device_get(state)
     state["history"] = history
     return state

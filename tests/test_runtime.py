@@ -289,3 +289,31 @@ def test_iter_based_runner(tiny_setup):
     sch_e = build_lr_schedule(1.0, dict(policy="step", step=[1]),
                               iters_per_epoch=4, max_epochs=2, by_epoch=True)
     assert float(sch_e(3)) == 1.0 and abs(float(sch_e(4)) - 0.1) < 1e-6
+
+
+def test_orbax_checkpoint_backend(tiny_setup):
+    """checkpoint_config backend='orbax' (+async): the production
+    multi-host checkpoint path (SURVEY §5.4 TPU-equiv); resume_from loads
+    the directory artifact transparently via load_checkpoint_any."""
+    from pointtinybenchmark_tpu.engine import train_detector
+
+    cfg = dict(tiny_setup["cfg"])
+    cfg["runner"] = dict(type="EpochBasedRunner", max_epochs=1)
+    cfg["checkpoint_config"] = dict(interval=1, backend="orbax",
+                                    async_save=True)
+    wd = osp.join(tiny_setup["root"], "wd_orbax")
+    train_detector(tiny_setup["model"], tiny_setup["dataset"], cfg, wd)
+    ck = osp.join(wd, "epoch_1.ckpt")
+    assert osp.isdir(ck)  # orbax artifacts are directories
+
+    from pointtinybenchmark_tpu.engine import load_checkpoint_any
+    out = load_checkpoint_any(ck)
+    assert out["meta"]["epoch"] == 1
+    assert "params" in out["state"]
+
+    # resume from the orbax artifact continues the run
+    cfg2 = dict(cfg)
+    cfg2["runner"] = dict(type="EpochBasedRunner", max_epochs=2)
+    train_detector(tiny_setup["model"], tiny_setup["dataset"], cfg2, wd,
+                   resume_from=ck)
+    assert osp.isdir(osp.join(wd, "epoch_2.ckpt"))
