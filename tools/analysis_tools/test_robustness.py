@@ -23,14 +23,13 @@ def parse_args():
     p.add_argument("checkpoint")
     p.add_argument("--corruptions", nargs="+", default=["benchmark"],
                    help="'benchmark' = all supported, or a subset by name")
-    p.add_argument("--out", default=None,
-                   help="save the per-corruption/severity metric table as "
-                        "json for tools/analysis_tools/robustness_eval.py")
     p.add_argument("--severities", nargs="+", type=int,
                    default=[0, 1, 2, 3, 4, 5])
     p.add_argument("--eval", nargs="+", default=["bbox"])
     p.add_argument("--split", default="test", choices=["val", "test"])
-    p.add_argument("--out", help="json results table")
+    p.add_argument("--out", default=None,
+                   help="save the per-corruption/severity metric table as "
+                        "json (readable by robustness_eval.py)")
     return p.parse_args()
 
 
@@ -89,10 +88,6 @@ def main():
                 clean_ap = ap
             logger.info("%s severity %d: %.4f", corruption, severity, ap)
 
-    if args.out:
-        import json
-        with open(args.out, "w") as f:
-            json.dump(table, f, indent=1)
     # aggregate: mPC over severities 1..5, rPC = mPC / clean
     rows = []
     for corruption, sev_map in table.items():
