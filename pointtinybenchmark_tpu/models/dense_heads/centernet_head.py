@@ -76,22 +76,25 @@ class CTResNetNeck(nn.Module):
 
 
 def gaussian_radius(h, w, min_overlap: float = 0.3):
-    """CornerNet radius heuristic (mmdet utils/gaussian_target.py)."""
+    """CornerNet radius heuristic (mmdet utils/gaussian_target.py:167-186
+    — the CORRECTED quadratic roots (b-sq)/(2a), not the original
+    CornerNet repo's (b+sq)/2 which overestimates the radius ~2-3x;
+    golden-tested vs the reference)."""
     a1 = 1
     b1 = h + w
     c1 = w * h * (1 - min_overlap) / (1 + min_overlap)
     sq1 = jnp.sqrt(jnp.clip(b1 ** 2 - 4 * a1 * c1, 0, None))
-    r1 = (b1 + sq1) / 2
+    r1 = (b1 - sq1) / (2 * a1)
     a2 = 4
     b2 = 2 * (h + w)
     c2 = (1 - min_overlap) * w * h
     sq2 = jnp.sqrt(jnp.clip(b2 ** 2 - 4 * a2 * c2, 0, None))
-    r2 = (b2 + sq2) / 2
+    r2 = (b2 - sq2) / (2 * a2)
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (h + w)
     c3 = (min_overlap - 1) * w * h
     sq3 = jnp.sqrt(jnp.clip(b3 ** 2 - 4 * a3 * c3, 0, None))
-    r3 = (b3 + sq3) / 2
+    r3 = (b3 + sq3) / (2 * a3)
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 

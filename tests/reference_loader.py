@@ -206,3 +206,8 @@ def ref_point_assigner():
     return load_ref("core/bbox/assigners/point_assigner.py",
                     dict(AssignResult=ar.AssignResult, BaseAssigner=object,
                          build_iou_calculator=lambda c: iou2d.BboxOverlaps2D()))
+
+
+@lru_cache(maxsize=None)
+def ref_gaussian_target():
+    return load_ref("models/utils/gaussian_target.py")

@@ -684,3 +684,20 @@ def test_cpr_circle_geometry_golden():
         ours_full = np.concatenate([ours, np.zeros((1, 2), np.float32)])
         ref = ref_circle(radius, bnp, stride, ang, same)
         np.testing.assert_allclose(ours_full, ref, atol=1e-5)
+
+
+def test_gaussian_radius_golden():
+    """CenterNet/CornerNet radius heuristic vs reference
+    models/utils/gaussian_target.py::gaussian_radius."""
+    from pointtinybenchmark_tpu.models.dense_heads.centernet_head import (
+        gaussian_radius)
+    ref = R.ref_gaussian_target()
+    rng = np.random.RandomState(5)
+    for _ in range(50):
+        h = float(rng.uniform(2, 120))
+        w = float(rng.uniform(2, 120))
+        for ov in (0.3, 0.7):
+            ours = float(gaussian_radius(h, w, ov))
+            theirs = float(ref.gaussian_radius(
+                (torch.tensor(h), torch.tensor(w)), ov))
+            np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-4)
