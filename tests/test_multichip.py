@@ -82,3 +82,87 @@ def test_dp_tp_step_matches_single_device(setup):
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
     np.testing.assert_allclose(loss, setup["loss0"], rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_two_stage_step(tmp_path):
+    """Data-parallel train step for the TWO-STAGE protocol model (RPN +
+    RoI head with in-graph assignment/sampling): loss on the 8-way dp
+    mesh equals the single-device loss on the same global batch — the
+    sampler rng and gather-heavy RoI stage must be shard-invariant."""
+    from pointtinybenchmark_tpu.engine.train import (init_model,
+                                                     make_train_step)
+    from pointtinybenchmark_tpu.models import build_detector
+    from pointtinybenchmark_tpu.parallel import (make_mesh, replicate,
+                                                 shard_batch)
+
+    model = build_detector(
+        dict(type="FasterRCNN",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=8, num_outs=5),
+             rpn_head=dict(
+                 type="RPNHead", num_classes=1, in_channels=8,
+                 feat_channels=8,
+                 anchor_generator=dict(type="AnchorGenerator", scales=[2],
+                                       ratios=[1.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True),
+                 loss_bbox=dict(type="L1Loss")),
+             roi_head=dict(
+                 type="StandardRoIHead",
+                 bbox_roi_extractor=dict(
+                     roi_layer=dict(type="RoIAlign", output_size=7,
+                                    sampling_ratio=1),
+                     out_channels=8, featmap_strides=[4, 8, 16, 32]),
+                 bbox_head=dict(type="Shared2FCBBoxHead", num_classes=1,
+                                in_channels=8, fc_out_channels=16,
+                                roi_feat_size=7))),
+        dict(rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                    neg_iou_thr=0.3, min_pos_iou=0.3),
+                      sampler=dict(type="RandomSampler", num=16,
+                                   pos_fraction=0.5), pos_weight=-1),
+             rpn_proposal=dict(nms_pre=32, max_per_img=16,
+                               nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0.5),
+                       sampler=dict(type="RandomSampler", num=16,
+                                    pos_fraction=0.25,
+                                    add_gt_as_proposals=True),
+                       pos_weight=-1)),
+        dict(rpn=dict(nms_pre=32, max_per_img=16,
+                      nms=dict(iou_threshold=0.7), min_bbox_size=0),
+             rcnn=dict(score_thr=0.1, nms=dict(iou_threshold=0.5),
+                       max_per_img=5)))
+    b = 8
+    rng = np.random.RandomState(1)
+    boxes = np.zeros((b, 3, 4), np.float32)
+    boxes[..., :2] = rng.rand(b, 3, 2) * 30
+    boxes[..., 2:] = boxes[..., :2] + rng.rand(b, 3, 2) * 15 + 5
+    batch = dict(
+        img=jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32),
+        gt_bboxes=jnp.asarray(boxes),
+        gt_labels=jnp.zeros((b, 3), jnp.int32),
+        gt_valid=jnp.ones((b, 3), bool),
+        img_shape=jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1)),
+    )
+    params, batch_stats = init_model(model, batch)
+    tx = optax.sgd(1e-3)
+
+    def fresh():
+        return dict(params=jax.tree_util.tree_map(jnp.copy, params),
+                    batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+                    opt_state=tx.init(params), step=jnp.int32(0))
+
+    step = make_train_step(model, tx)
+    _, m0 = step(fresh(), batch, jax.random.PRNGKey(3))
+    loss0 = float(m0["loss"])
+
+    mesh = make_mesh(num_data=8, num_model=1, devices=jax.devices()[:8])
+    state = replicate(fresh(), mesh)
+    sbatch = shard_batch(batch, mesh)
+    _, m = step(state, sbatch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), loss0, rtol=1e-5)
