@@ -185,6 +185,36 @@ def train_detector(model, dataset, cfg, work_dir: str,
                  opt_state=tx.init(params), step=jnp.int32(0),
                  nan_seen=jnp.bool_(False))
 
+    # model.pretrained (reference init_cfg=Pretrained semantics): a LOCAL
+    # converted checkpoint loads here (backbone-only torch2jax artifacts
+    # merge into backbone_m; full-detector artifacts load whole);
+    # torchvision:// / http URLs cannot be fetched in this environment —
+    # point the user at tools/model_converters/torch2jax.py instead.
+    pretrained = dict(cfg.get("model", {}) or {}).get("pretrained")
+    if pretrained and not (resume_from or load_from):
+        import os.path as _osp
+        if _osp.exists(str(pretrained)):
+            ck = load_checkpoint_any(str(pretrained))
+            ck_params = ck["state"]["params"]
+            if "backbone_m" in ck_params:
+                state["params"] = ck_params
+                if ck["state"].get("batch_stats"):
+                    state["batch_stats"] = ck["state"]["batch_stats"]
+            else:
+                state["params"] = dict(state["params"],
+                                       backbone_m=ck_params)
+                bs = ck["state"].get("batch_stats")
+                if bs:
+                    state["batch_stats"] = dict(state["batch_stats"],
+                                                backbone_m=bs)
+            logger.info("loaded pretrained weights from %s", pretrained)
+        else:
+            logger.warning(
+                "model.pretrained=%r is not a local file (no network "
+                "access); convert the torch checkpoint with "
+                "tools/model_converters/torch2jax.py and pass it here or "
+                "via --load-from", pretrained)
+
     start_epoch = 0
     if resume_from:
         ck = load_checkpoint_any(resume_from, state)
