@@ -42,6 +42,7 @@ class VOCDataset:
         self.min_size = min_size
         self.seed = seed
         self._epoch = 0
+        self.ann_file = ann_file
         with open(ann_file) as f:
             self.img_ids = [line.strip() for line in f if line.strip()]
         self.data_infos = self._load_infos()
@@ -122,40 +123,53 @@ class VOCDataset:
         )
         return self.pipeline(results)
 
-    def evaluate(self, results, metric="mAP", iou_thr=0.5, **kwargs):
-        """VOC mAP via the COCO-format evaluator (converted on the fly)."""
-        from .coco import COCO
-        from ..evaluation.cocoeval import COCOExpandEval
-        images, annotations, ann_id = [], [], 1
-        for i, info in enumerate(self.data_infos):
-            images.append(dict(id=i + 1, file_name=info["file_name"],
-                               width=info["width"], height=info["height"]))
-            ann = self.get_ann_info(i)
-            for b, l in zip(ann["bboxes"], ann["labels"]):
-                annotations.append(dict(
-                    id=ann_id, image_id=i + 1, category_id=int(l) + 1,
-                    bbox=[float(b[0]), float(b[1]),
-                          float(b[2] - b[0]), float(b[3] - b[1])],
-                    area=float((b[2] - b[0]) * (b[3] - b[1])), iscrowd=0))
-                ann_id += 1
-        gt = COCO(dict(images=images, annotations=annotations,
-                       categories=[dict(id=i + 1, name=c)
-                                   for i, c in enumerate(self.classes)]))
-        dets = []
-        for i, res in enumerate(results):
-            for bb, lb in zip(np.asarray(res["bboxes"]),
-                              np.asarray(res["labels"])):
-                dets.append(dict(image_id=i + 1, category_id=int(lb) + 1,
-                                 bbox=[float(bb[0]), float(bb[1]),
-                                       float(bb[2] - bb[0]),
-                                       float(bb[3] - bb[1])],
-                                 score=float(bb[4])))
-        ev = COCOExpandEval(gt, gt.loadRes(dets), "bbox",
-                            cocofmt_param=dict(iouThrs=[iou_thr],
-                                               maxDets=[100]))
-        ev.evaluate()
-        ev.accumulate()
-        return ev.summarize()
+    def evaluate(self, results, metric="mAP", iou_thr=0.5,
+                 scale_ranges=None, proposal_nums=(100, 300, 1000),
+                 **kwargs):
+        """VOC-protocol evaluation (reference datasets/voc.py:36-86 +
+        core/evaluation/mean_ap.py): true VOC-style eval_map — 11-point
+        interpolation for VOC2007 ann paths, precision-envelope area
+        otherwise — with difficult boxes as ignore regions. metric can
+        also be 'recall' (eval_recalls semantics)."""
+        from ..evaluation.mean_ap import eval_map
+
+        annotations = [self.get_ann_info(i) for i in range(len(self))]
+        num_classes = len(self.classes)
+        det_results = []
+        for res in results:
+            bboxes = np.asarray(res["bboxes"], np.float32).reshape(-1, 5)
+            labels = np.asarray(res["labels"]).reshape(-1)
+            det_results.append([bboxes[labels == c] for c in
+                                range(num_classes)])
+        anns = []
+        for ann in annotations:
+            item = dict(bboxes=ann["bboxes"], labels=ann["labels"])
+            if len(ann.get("bboxes_ignore", [])):
+                item["bboxes_ignore"] = ann["bboxes_ignore"]
+                item["labels_ignore"] = ann.get(
+                    "labels_ignore",
+                    np.zeros(len(ann["bboxes_ignore"]), np.int64))
+            else:
+                item["labels_ignore"] = None
+            anns.append(item)
+
+        if metric == "recall":
+            from ..evaluation.recall import eval_recalls
+            gt_list = [a["bboxes"] for a in anns]
+            all_det = [np.vstack([d for d in img]) for img in det_results]
+            recalls = eval_recalls(gt_list, all_det, list(proposal_nums),
+                                   iou_thrs=[iou_thr])
+            return {f"recall@{n}": float(recalls[i, 0])
+                    for i, n in enumerate(proposal_nums)}
+
+        ds_name = "voc07" if "VOC2007" in str(self.ann_file) else None
+        mean_ap, per_cls = eval_map(det_results, anns,
+                                    scale_ranges=scale_ranges,
+                                    iou_thr=iou_thr, dataset=ds_name)
+        out = {"mAP": float(mean_ap)}
+        for c, r in enumerate(per_cls):
+            out[f"AP_{self.classes[c]}"] = float(np.mean(r["ap"]))
+        return out
 
 
 @DATASETS.register_module()

@@ -14,7 +14,8 @@ from functools import lru_cache
 REF_ROOT = "/root/reference/TOV_mmdetection/mmdet"
 
 _STRIP_PREFIXES = ("from .", "from ..", "from mmdet", "import mmcv",
-                   "from mmcv", "from torchvision")
+                   "from mmcv", "from torchvision",
+                   "from terminaltables", "from multiprocessing")
 
 
 class _Registry:
@@ -44,6 +45,7 @@ def _mmcv_stub() -> types.ModuleType:
     m.is_tuple_of = lambda seq, typ: (isinstance(seq, tuple)
                                       and all(isinstance(x, typ)
                                               for x in seq))
+    m.is_str = lambda x: isinstance(x, str)
     return m
 
 
@@ -211,3 +213,42 @@ def ref_point_assigner():
 @lru_cache(maxsize=None)
 def ref_gaussian_target():
     return load_ref("models/utils/gaussian_target.py")
+
+
+@lru_cache(maxsize=None)
+def ref_mean_ap():
+    """core/evaluation/mean_ap.py with Pool/terminaltables/print stubs —
+    the multiprocessing Pool is replaced by an inline starmap."""
+    class _FakePool:
+        def __init__(self, *a):
+            pass
+
+        def starmap(self, fn, it):
+            return [fn(*args) for args in it]
+
+        def close(self):
+            pass
+
+    iou2d = load_ref("core/bbox/iou_calculators/iou2d_calculator.py")
+
+    def np_overlaps(a, b, mode="iou"):
+        import numpy as np
+        import torch
+        return iou2d.bbox_overlaps(torch.from_numpy(a[:, :4].copy()),
+                                   torch.from_numpy(b.copy()),
+                                   mode=mode).numpy()
+
+    extra = dict(
+        Pool=_FakePool,
+        bbox_overlaps=np_overlaps,
+        print_log=lambda *a, **k: None,
+        AsciiTable=type("T", (), {"__init__": lambda self, *a: None,
+                                  "table": ""}),
+        get_classes=lambda d: None,
+        print_map_summary=lambda *a, **k: None,
+    )
+    mod = load_ref("core/evaluation/mean_ap.py", extra)
+    # the module defines its own print_map_summary (AsciiTable printing);
+    # silence it through the live globals that eval_map closes over
+    mod.eval_map.__globals__["print_map_summary"] = lambda *a, **k: None
+    return mod

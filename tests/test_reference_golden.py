@@ -701,3 +701,56 @@ def test_gaussian_radius_golden():
             theirs = float(ref.gaussian_radius(
                 (torch.tensor(h), torch.tensor(w)), ov))
             np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-4)
+
+
+def test_eval_map_golden():
+    """VOC-style eval_map (reference core/evaluation/mean_ap.py:267-400):
+    identical mAP/per-class AP on randomized multi-image multi-class
+    results, with ignore boxes, both 'area' and voc07 '11points' modes,
+    and scale_ranges."""
+    from pointtinybenchmark_tpu.evaluation.mean_ap import eval_map
+    ref = R.ref_mean_ap()
+    rng = np.random.RandomState(17)
+    num_imgs, num_classes = 6, 3
+
+    def make_case():
+        det_results, annotations = [], []
+        for _ in range(num_imgs):
+            per_cls = []
+            for _c in range(num_classes):
+                n = rng.randint(0, 8)
+                xy = rng.rand(n, 2).astype(np.float32) * 80
+                wh = rng.rand(n, 2).astype(np.float32) * 30 + 2
+                sc = rng.rand(n, 1).astype(np.float32)
+                per_cls.append(np.concatenate([xy, xy + wh, sc], -1))
+            det_results.append(per_cls)
+            g = rng.randint(1, 6)
+            gxy = rng.rand(g, 2).astype(np.float32) * 80
+            gwh = rng.rand(g, 2).astype(np.float32) * 30 + 2
+            gi = rng.randint(0, 3)
+            ixy = rng.rand(gi, 2).astype(np.float32) * 80
+            iwh = rng.rand(gi, 2).astype(np.float32) * 30 + 2
+            annotations.append(dict(
+                bboxes=np.concatenate([gxy, gxy + gwh], -1),
+                labels=rng.randint(0, num_classes, g),
+                bboxes_ignore=np.concatenate([ixy, ixy + iwh], -1),
+                labels_ignore=rng.randint(0, num_classes, gi)))
+        return det_results, annotations
+
+    for ds in (None, "voc07"):
+        det_results, annotations = make_case()
+        ours_map, ours_cls = eval_map(det_results, annotations,
+                                      iou_thr=0.5, dataset=ds)
+        ref_map, ref_cls = ref.eval_map(det_results, annotations,
+                                        iou_thr=0.5, dataset=ds, nproc=1)
+        np.testing.assert_allclose(ours_map, ref_map, atol=1e-6)
+        for a, b in zip(ours_cls, ref_cls):
+            np.testing.assert_allclose(a["ap"], b["ap"], atol=1e-6)
+
+    # scale_ranges path
+    det_results, annotations = make_case()
+    ours_map, _ = eval_map(det_results, annotations, iou_thr=0.5,
+                           scale_ranges=[(0, 16), (16, 64)])
+    ref_map, _ = ref.eval_map(det_results, annotations, iou_thr=0.5,
+                              scale_ranges=[(0, 16), (16, 64)], nproc=1)
+    np.testing.assert_allclose(ours_map, ref_map, atol=1e-6)
