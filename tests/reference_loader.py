@@ -49,14 +49,19 @@ def _mmcv_stub() -> types.ModuleType:
     return m
 
 
-def load_ref(relpath: str, extra: dict | None = None) -> types.SimpleNamespace:
+def load_ref(relpath: str, extra: dict | None = None,
+             replace: tuple = ()) -> types.SimpleNamespace:
     """Exec a reference source file with stripped imports + injected stubs.
 
+    `replace`: ((old, new), ...) source substitutions for constructs that
+    modern numpy/python reject (e.g. ragged np.array) — behavior-neutral.
     Returns a namespace holding every top-level name the file defined.
     """
     path = os.path.join(REF_ROOT, relpath)
     with open(path) as f:
         src = f.read()
+    for old, new in replace:
+        src = src.replace(old, new)
     lines = []
     for line in src.splitlines():
         if line.lstrip().startswith(_STRIP_PREFIXES):
@@ -252,3 +257,28 @@ def ref_mean_ap():
     # silence it through the live globals that eval_map closes over
     mod.eval_map.__globals__["print_map_summary"] = lambda *a, **k: None
     return mod
+
+
+@lru_cache(maxsize=None)
+def ref_recall():
+    """core/evaluation/recall.py with numpy bbox_overlaps injected."""
+    iou2d = load_ref("core/bbox/iou_calculators/iou2d_calculator.py")
+
+    def np_overlaps(a, b):
+        import numpy as np
+        import torch
+        if a.shape[0] == 0 or b.shape[0] == 0:
+            return np.zeros((a.shape[0], b.shape[0]))
+        return iou2d.bbox_overlaps(
+            torch.from_numpy(np.ascontiguousarray(a[:, :4])),
+            torch.from_numpy(np.ascontiguousarray(b[:, :4]))).numpy()
+
+    return load_ref(
+        "core/evaluation/recall.py",
+        dict(bbox_overlaps=np_overlaps,
+             print_log=lambda *a, **k: None,
+             AsciiTable=type("T", (), {
+                 "__init__": lambda self, *a, **k: None, "table": ""})),
+        # modern numpy rejects ragged np.array(...) (legacy object array)
+        replace=(("all_ious = np.array(all_ious)",
+                  "all_ious = np.array(all_ious, dtype=object)"),))

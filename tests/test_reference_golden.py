@@ -754,3 +754,29 @@ def test_eval_map_golden():
     ref_map, _ = ref.eval_map(det_results, annotations, iou_thr=0.5,
                               scale_ranges=[(0, 16), (16, 64)], nproc=1)
     np.testing.assert_allclose(ours_map, ref_map, atol=1e-6)
+
+
+def test_eval_recalls_golden():
+    """eval_recalls (reference core/evaluation/recall.py::eval_recalls):
+    identical recall matrix on randomized proposals incl. score-sorted
+    5-column proposals and empty-gt images."""
+    from pointtinybenchmark_tpu.evaluation.recall import eval_recalls
+    ref = R.ref_recall()
+    rng = np.random.RandomState(23)
+    gts, props = [], []
+    for i in range(6):
+        g = rng.randint(0, 5)
+        gxy = rng.rand(g, 2).astype(np.float32) * 80
+        gwh = rng.rand(g, 2).astype(np.float32) * 30 + 2
+        gts.append(np.concatenate([gxy, gxy + gwh], -1))
+        p = rng.randint(5, 40)
+        pxy = rng.rand(p, 2).astype(np.float32) * 80
+        pwh = rng.rand(p, 2).astype(np.float32) * 30 + 2
+        sc = rng.rand(p, 1).astype(np.float32)
+        props.append(np.concatenate([pxy, pxy + pwh, sc], -1))
+    nums = [5, 10, 30]
+    thrs = [0.3, 0.5, 0.7]
+    ours = eval_recalls(gts, props, nums, iou_thrs=thrs)
+    theirs = ref.eval_recalls(gts, props, proposal_nums=nums, iou_thrs=thrs)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                               atol=1e-6)
