@@ -179,7 +179,32 @@ def bench_p2p(n_iters: int = 20):
     return batch * n_iters / (time.perf_counter() - t0)
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Fail fast (exit 3) when the axon TPU tunnel is down: jax backend
+    discovery then blocks forever, which would hang the whole bench run
+    (observed after remote-worker crashes; see PARITY measurement-hygiene
+    notes). A live probe in a daemon thread bounds the wait."""
+    import threading
+    out = {}
+
+    def probe():
+        import jax
+        out["devices"] = jax.devices()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in out:
+        import sys
+        print("bench: TPU backend unavailable (device discovery timed out "
+              f"after {timeout_s:.0f}s — axon tunnel down?)",
+              file=sys.stderr)
+        sys.exit(3)
+    return out["devices"]
+
+
 def main():
+    _probe_devices()
     retina = build_from_config(
         "configs/tinyperson/retinanet_r50_fpns4_1x_tinyperson640_clipg.py")
     retina_ips, retina_fwd = bench_tiled(retina)
