@@ -780,3 +780,16 @@ def test_eval_recalls_golden():
     theirs = ref.eval_recalls(gts, props, proposal_nums=nums, iou_thrs=thrs)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
                                atol=1e-6)
+
+
+def test_bbox_rescale_golden():
+    """Center box rescale (SABL bucket-region scaling; reference
+    core/bbox/transforms.py:214 bbox_rescale == our
+    bbox_rescale_center; our bbox_rescale is the scale_factor divide)."""
+    from pointtinybenchmark_tpu.core.bbox import bbox_rescale_center
+    ref = R.ref_transforms()
+    boxes = rand_boxes(24)
+    close(bbox_rescale_center(jnp.asarray(boxes), 1.7),
+          ref.bbox_rescale(t(boxes), 1.7))
+    close(bbox_rescale_center(jnp.asarray(boxes), 0.6),
+          ref.bbox_rescale(t(boxes), 0.6))
