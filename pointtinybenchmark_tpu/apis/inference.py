@@ -48,8 +48,8 @@ def init_detector(config: Union[str, Config],
     variables = None
     classes = None
     if checkpoint is not None:
-        from ..engine.checkpoint import load_checkpoint
-        ck = load_checkpoint(checkpoint)
+        from ..engine.checkpoint import load_checkpoint_any
+        ck = load_checkpoint_any(checkpoint)
         state = ck["state"]
         variables = {"params": state["params"]}
         if state.get("batch_stats"):

@@ -37,7 +37,7 @@ def main():
     args = parse_args()
     from pointtinybenchmark_tpu.data import DetCollator, build_dataset
     from pointtinybenchmark_tpu.data.transforms import Corrupt
-    from pointtinybenchmark_tpu.engine import load_checkpoint, run_test
+    from pointtinybenchmark_tpu.engine import load_checkpoint_any, run_test
     from pointtinybenchmark_tpu.models import build_detector
     from pointtinybenchmark_tpu.utils import Config, get_root_logger
 
@@ -50,7 +50,7 @@ def main():
     model = build_detector(dict(cfg.model),
                            cfg.get("train_cfg") or cfg.model.get("train_cfg"),
                            cfg.get("test_cfg") or cfg.model.get("test_cfg"))
-    state = load_checkpoint(args.checkpoint)["state"]
+    state = load_checkpoint_any(args.checkpoint)["state"]
     loader_cfg = dict(cfg.get("loader", {}) or {})
     collator = DetCollator(
         pad_shape=tuple(loader_cfg["pad_shape"])

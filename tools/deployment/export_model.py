@@ -39,8 +39,8 @@ def main():
     img_shape = jnp.tile(jnp.asarray([list(shape)], jnp.int32), (b, 1))
 
     if args.checkpoint:
-        from pointtinybenchmark_tpu.engine import load_checkpoint
-        state = load_checkpoint(args.checkpoint)["state"]
+        from pointtinybenchmark_tpu.engine import load_checkpoint_any
+        state = load_checkpoint_any(args.checkpoint)["state"]
         variables = {"params": state["params"]}
         if state.get("batch_stats"):
             variables["batch_stats"] = state["batch_stats"]

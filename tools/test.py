@@ -27,8 +27,8 @@ def parse_args():
 def main():
     args = parse_args()
     from pointtinybenchmark_tpu.data import DetCollator, build_dataset
-    from pointtinybenchmark_tpu.engine import (load_checkpoint, run_test,
-                                               run_tiled_test)
+    from pointtinybenchmark_tpu.engine import (load_checkpoint_any,
+                                               run_test, run_tiled_test)
     from pointtinybenchmark_tpu.engine.test import run_refine_test
     from pointtinybenchmark_tpu.models import build_detector
     from pointtinybenchmark_tpu.utils import (Config, get_root_logger,
@@ -53,7 +53,7 @@ def main():
     ds_cfg["test_mode"] = True
     dataset = build_dataset(ds_cfg)
 
-    ck = load_checkpoint(args.checkpoint)
+    ck = load_checkpoint_any(args.checkpoint)
     state = ck["state"]
 
     eval_kwargs = dict(cfg.get("evaluation", {}) or {})
