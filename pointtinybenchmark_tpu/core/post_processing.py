@@ -32,7 +32,8 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
                    iou_threshold: float,
                    max_per_img: int,
                    valid_mask: Optional[jnp.ndarray] = None,
-                   pre_nms_limit: int = 20000) -> DetResult:
+                   pre_nms_limit: int = 20000,
+                   score_factors: Optional[jnp.ndarray] = None) -> DetResult:
     """
     Args:
         multi_bboxes: (N, 4) (class-agnostic) or (N, C*4).
@@ -43,6 +44,10 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
         max_per_img: static output size.
         valid_mask: (N,) bool for padded rows.
         pre_nms_limit: static cap on flattened (N*C) candidates fed to NMS.
+        score_factors: (N,) multiplier (centerness / objectness) applied
+            AFTER the score threshold, exactly like the reference
+            (bbox_nms.py:55-62 "multiply score_factor after threshold to
+            preserve more bboxes"); the output score is the product.
     """
     n = multi_scores.shape[0]
     num_classes = multi_scores.shape[1] - 1
@@ -58,6 +63,8 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     ok = flat_scores > score_thr
     if valid_mask is not None:
         ok = ok & jnp.repeat(valid_mask, num_classes)
+    if score_factors is not None:
+        flat_scores = flat_scores * jnp.repeat(score_factors, num_classes)
     flat_scores = jnp.where(ok, flat_scores, -1.0)
 
     # static candidate cap (keeps the NMS problem small)
@@ -65,7 +72,7 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     top_boxes = flat_boxes[top_idx]
     top_labels = flat_labels[top_idx]
-    top_valid = top_scores > score_thr
+    top_valid = ok[top_idx]
 
     keep_idx, num_kept = batched_nms(top_boxes, top_scores, top_labels,
                                      iou_threshold, max_per_img,

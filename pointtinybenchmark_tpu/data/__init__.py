@@ -16,7 +16,12 @@ from .voc import VOCDataset, WIDERFaceDataset
 from ..utils.registry import DATASETS
 
 
-def build_dataset(cfg: dict):
+def build_dataset(cfg):
+    """dict -> registry build; list of dicts -> ConcatDataset (the reference
+    builder's `data.train=[...]` convention, mmdet datasets/builder.py:53)."""
+    if isinstance(cfg, (list, tuple)):
+        from .dataset_wrappers import ConcatDataset
+        return ConcatDataset(list(cfg))
     return DATASETS.build(dict(cfg))
 
 

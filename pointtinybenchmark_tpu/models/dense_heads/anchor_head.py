@@ -206,9 +206,13 @@ class AnchorHead(nn.Module):
             label_weights, pos_mask = jax.vmap(sample_one)(
                 keys, labels, label_weights, pos_mask)
 
-        num_pos = jnp.maximum(pos_mask.sum(), 1.0)
+        # reference normalization (anchor_head.py get_targets): each image
+        # contributes max(num_pos_i, 1) — an empty-gt image still adds 1.
+        pos_per_img = pos_mask.sum(axis=1)
+        num_pos = jnp.maximum(pos_per_img, 1.0).sum()
         if self.sampling:
-            num_total = jnp.maximum((label_weights > 0).sum(), 1.0)
+            neg_per_img = (label_weights > 0).sum(axis=1) - pos_per_img
+            num_total = num_pos + jnp.maximum(neg_per_img, 1.0).sum()
         else:
             num_total = num_pos
 
@@ -226,7 +230,12 @@ class AnchorHead(nn.Module):
 
     # ------------------------------------------------------------ inference
     def get_bboxes(self, cls_outs, bbox_outs, img_shapes, pad_shape,
-                   scale_factors=None, rescale: bool = False) -> DetResult:
+                   scale_factors=None, rescale: bool = False,
+                   factor_outs=None) -> DetResult:
+        """factor_outs: optional per-level (B, H, W, A) centerness/objectness
+        logits; sigmoid'd and applied per the reference score_factors
+        contract — ranking and output scores use the product, the score
+        threshold gates the raw cls score (bbox_nms.py:55-62)."""
         cfg = self.test_cfg or {}
         nms_pre = int(cfg.get("nms_pre", 1000))
         score_thr = float(cfg.get("score_thr", 0.05))
@@ -241,15 +250,19 @@ class AnchorHead(nn.Module):
                          for a in gen.grid_anchors(featmap_sizes)]
         b = cls_outs[0].shape[0]
 
-        def single(cls_list, box_list, img_shape, scale_factor):
-            pts, scs = [], []
+        def single(cls_list, box_list, fac_list, img_shape, scale_factor):
+            pts, scs, fcs = [], [], []
             for lvl, (cls_o, box_o) in enumerate(zip(cls_list, box_list)):
                 sc = (jax.nn.sigmoid(cls_o) if self.use_sigmoid_cls
                       else jax.nn.softmax(cls_o, -1))
+                fac = (jax.nn.sigmoid(fac_list[lvl])
+                       if fac_list is not None else None)
                 if self.use_sigmoid_cls:
                     max_s = jnp.max(sc, -1)
                 else:
                     max_s = jnp.max(sc[:, :-1], -1)
+                if fac is not None:
+                    max_s = max_s * fac
                 k = min(nms_pre, sc.shape[0]) if nms_pre > 0 else sc.shape[0]
                 _, idx = jax.lax.top_k(max_s, k)
                 boxes = decode_fn(jnp.asarray(level_anchors[lvl])[idx],
@@ -261,21 +274,31 @@ class AnchorHead(nn.Module):
                     jnp.clip(boxes[:, 3], 0, img_shape[0])], -1)
                 pts.append(boxes)
                 scs.append(sc[idx])
+                if fac is not None:
+                    fcs.append(fac[idx])
             boxes = jnp.concatenate(pts)
             scores = jnp.concatenate(scs)
+            factors = jnp.concatenate(fcs) if fcs else None
             if rescale and scale_factor is not None:
                 boxes = boxes / scale_factor
             if self.use_sigmoid_cls:
                 scores = jnp.concatenate(
                     [scores, jnp.zeros((scores.shape[0], 1))], -1)
             return multiclass_nms(boxes, scores, score_thr, iou_thr,
-                                  max_per_img)
+                                  max_per_img, score_factors=factors)
 
         # reshape level outputs to (B, HWA, C)
         cls_levels = [c.reshape(b, -1, self.cls_out_channels)
                       for c in cls_outs]
         box_levels = [r.reshape(b, -1, 4) for r in bbox_outs]
+        fac_levels = ([f.reshape(b, -1) for f in factor_outs]
+                      if factor_outs is not None else None)
         sf = (scale_factors if scale_factors is not None
               else jnp.ones((b, 4), jnp.float32))
-        dets = jax.vmap(single)(cls_levels, box_levels, img_shapes, sf)
+        if fac_levels is None:
+            dets = jax.vmap(lambda c, x, i, s: single(c, x, None, i, s))(
+                cls_levels, box_levels, img_shapes, sf)
+        else:
+            dets = jax.vmap(single)(cls_levels, box_levels, fac_levels,
+                                    img_shapes, sf)
         return dets, None

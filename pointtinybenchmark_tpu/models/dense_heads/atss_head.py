@@ -193,22 +193,10 @@ class ATSSHead(AnchorHead):
 
     def get_bboxes(self, cls_outs, reg_outs, ctr_outs, img_shapes, pad_shape,
                    scale_factors=None, rescale: bool = False):
-        """Score = sigmoid(cls) * sigmoid(centerness), then AnchorHead-style
-        decode + NMS."""
-        b = cls_outs[0].shape[0]
-        # fold centerness into the cls logits path by pre-multiplying scores:
-        # reuse AnchorHead.get_bboxes on adjusted logits is not exact for
-        # sigmoid; do it directly instead.
-        import jax.nn as jnn
-        adj_cls = []
-        for c, t in zip(cls_outs, ctr_outs):
-            sc = jnn.sigmoid(c.reshape(b, *c.shape[1:3], self.num_base_anchors,
-                                       self.cls_out_channels))
-            ct = jnn.sigmoid(t)[..., None]
-            fused = sc * ct
-            # AnchorHead.get_bboxes applies sigmoid; invert through logit
-            logit = jnp.log(jnp.clip(fused, 1e-9, 1 - 1e-9)) - jnp.log1p(
-                -jnp.clip(fused, 1e-9, 1 - 1e-9))
-            adj_cls.append(logit.reshape(c.shape[:3] + (-1,)))
-        return AnchorHead.get_bboxes(self, adj_cls, reg_outs, img_shapes,
-                                     pad_shape, scale_factors, rescale)
+        """Score = sigmoid(cls) × sigmoid(centerness) via the reference
+        score_factors contract (atss_head.py:495 + bbox_nms.py:55-62): the
+        score threshold gates the raw cls score; centerness multiplies
+        after, for ranking and the output score."""
+        return AnchorHead.get_bboxes(self, cls_outs, reg_outs, img_shapes,
+                                     pad_shape, scale_factors, rescale,
+                                     factor_outs=ctr_outs)

@@ -248,7 +248,7 @@ class FCOSHead(nn.Module):
         ctr_levels = [c.reshape(b, -1) for c in ctr_outs]
 
         def single(cls_list, reg_list, ctr_list, img_shape, scale_factor):
-            boxes_all, scores_all = [], []
+            boxes_all, scores_all, ctr_all = [], [], []
             for lvl in range(len(cls_list)):
                 sc = jax.nn.sigmoid(cls_list[lvl])
                 ctr = jax.nn.sigmoid(ctr_list[lvl])
@@ -263,15 +263,19 @@ class FCOSHead(nn.Module):
                     jnp.clip(boxes[:, 2], 0, img_shape[1]),
                     jnp.clip(boxes[:, 3], 0, img_shape[0])], -1)
                 boxes_all.append(boxes)
-                scores_all.append(sc[idx] * ctr[idx][:, None])
+                scores_all.append(sc[idx])
+                ctr_all.append(ctr[idx])
             boxes = jnp.concatenate(boxes_all)
             scores = jnp.concatenate(scores_all)
+            ctrs = jnp.concatenate(ctr_all)
             if rescale and scale_factor is not None:
                 boxes = boxes / scale_factor
             scores = jnp.concatenate(
                 [scores, jnp.zeros((scores.shape[0], 1))], -1)
+            # reference semantics (fcos_head.py:462 + bbox_nms.py:55-62):
+            # score_thr gates the RAW cls score; centerness multiplies after.
             return multiclass_nms(boxes, scores, score_thr, iou_thr,
-                                  max_per_img)
+                                  max_per_img, score_factors=ctrs)
 
         sf = (scale_factors if scale_factors is not None
               else jnp.ones((b, 4), jnp.float32))

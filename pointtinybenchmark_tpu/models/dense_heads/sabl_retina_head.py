@@ -200,13 +200,14 @@ class SABLRetinaHead(GuidedAnchorHead):
             confids = jnp.concatenate(cfd)
             if rescale and scale_factor is not None:
                 boxes = boxes / scale_factor
-            # bucketing-guided rescoring (score_factors=confids)
-            scores = scores * confids[:, None]
             if self.use_sigmoid_cls:
                 scores = jnp.concatenate(
                     [scores, jnp.zeros((scores.shape[0], 1))], -1)
+            # bucketing-guided rescoring via the reference score_factors
+            # contract (sabl_retina_head.py:621 + bbox_nms.py:55-62):
+            # score_thr gates the raw cls score, confid multiplies after.
             return multiclass_nms(boxes, scores, score_thr, iou_thr,
-                                  max_per_img)
+                                  max_per_img, score_factors=confids)
 
         cls_levels = [c.reshape(b, -1, self.cls_out_channels)
                       for c in cls_outs]

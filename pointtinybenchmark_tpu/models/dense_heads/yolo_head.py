@@ -245,17 +245,22 @@ class YOLOV3Head(nn.Module):
         b = outs[0].shape[0]
         featmap_sizes = [o.shape[1:3] for o in outs]
         cells, strides, awh, _ = self._grid(featmap_sizes)
+        conf_thr = float(cfg.get("conf_thr", -1))
         pred = self._flatten(outs, b)
         boxes = self.decode(pred[..., :4], cells, strides, awh)
         conf = jax.nn.sigmoid(pred[..., 4])
-        cls = jax.nn.sigmoid(pred[..., 5:]) * conf[..., None]
+        cls = jax.nn.sigmoid(pred[..., 5:])
 
-        def single(bx, sc, img_shape, scale_factor):
-            max_s = jnp.max(sc, -1)
+        def single(bx, sc, cf, img_shape, scale_factor):
+            # reference yolo_head.py:383-402: conf_thr gates candidates
+            # (>= conf_thr), score_thr gates raw cls scores, objectness
+            # multiplies after as score_factors.
+            max_s = jnp.max(sc, -1) * cf
             k = min(nms_pre, sc.shape[0]) if nms_pre > 0 else sc.shape[0]
             _, idx = jax.lax.top_k(max_s, k)
             bx = bx[idx]
             sc = sc[idx]
+            cf = cf[idx]
             bx = jnp.stack([
                 jnp.clip(bx[:, 0], 0, img_shape[1]),
                 jnp.clip(bx[:, 1], 0, img_shape[0]),
@@ -263,10 +268,12 @@ class YOLOV3Head(nn.Module):
                 jnp.clip(bx[:, 3], 0, img_shape[0])], -1)
             if rescale and scale_factor is not None:
                 bx = bx / scale_factor
+            valid = (cf >= conf_thr) if conf_thr > 0 else None
             sc = jnp.concatenate([sc, jnp.zeros((sc.shape[0], 1))], -1)
-            return multiclass_nms(bx, sc, score_thr, iou_thr, max_per_img)
+            return multiclass_nms(bx, sc, score_thr, iou_thr, max_per_img,
+                                  valid_mask=valid, score_factors=cf)
 
         sf = (scale_factors if scale_factors is not None
               else jnp.ones((b, 4), jnp.float32))
-        dets = jax.vmap(single)(boxes, cls, img_shapes, sf)
+        dets = jax.vmap(single)(boxes, cls, conf, img_shapes, sf)
         return dets, None

@@ -118,7 +118,7 @@ class _ConcatCell(nn.Module):
                     name="reduce")(x)
         groups = max(g for g in (32, 16, 8, 4, 2, 1)
                      if self.out_channels % g == 0)
-        return nn.relu(nn.GroupNorm(num_groups=groups)(x))
+        return nn.relu(nn.GroupNorm(num_groups=groups, epsilon=1e-5)(x))
 
 
 @NECKS.register_module()

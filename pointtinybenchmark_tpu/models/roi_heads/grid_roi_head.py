@@ -57,7 +57,7 @@ class GridHead(nn.Module):
         groups = 36 if self.feat_channels % 36 == 0 else \
             max(g for g in (32, 16, 8, 4, 2, 1) if self.feat_channels % g == 0)
         for i in range(self.num_convs):
-            x = nn.relu(nn.GroupNorm(num_groups=groups)(nn.Conv(
+            x = nn.relu(nn.GroupNorm(num_groups=groups, epsilon=1e-5)(nn.Conv(
                 self.feat_channels, (3, 3), padding=1, dtype=self.dtype,
                 name=f"conv{i}")(x)))
         # split into per-point feature groups and fuse neighbors (1st order)

@@ -35,7 +35,8 @@ class ConvModule(nn.Module):
                     strides=(self.stride, self.stride), padding=self.padding,
                     use_bias=use_bias, dtype=self.dtype)(x)
         if self.norm == "GN":
-            x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                             dtype=self.dtype)(x)
         elif self.norm == "BN":
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         if self.act:

@@ -183,15 +183,29 @@ def convert_detector_state_dict(sd, depth: int):
             if parts[1] in ("cls_convs", "reg_convs"):
                 i = int(parts[2])
                 name = parts[1][:3] + f"_conv{i}"
-                _put(params, ["bbox_head_m", name, "Conv_0",
-                              "kernel" if leaf == "weight" else "bias"],
-                     _conv_w(v) if leaf == "weight"
-                     else v.astype(np.float32))
-            elif parts[1] in ("retina_cls", "retina_reg"):
+                if parts[3] == "conv":
+                    _put(params, ["bbox_head_m", name, "Conv_0",
+                                  "kernel" if leaf == "weight" else "bias"],
+                         _conv_w(v) if leaf == "weight"
+                         else v.astype(np.float32))
+                elif parts[3] == "gn":
+                    # mmcv ConvModule GN (FCOS/ATSS towers) -> our
+                    # ConvModule's GroupNorm_0 {scale, bias}
+                    _put(params, ["bbox_head_m", name, "GroupNorm_0",
+                                  "scale" if leaf == "weight" else "bias"],
+                         v.astype(np.float32))
+                else:
+                    unmapped.append(k)
+            elif parts[1] in ("retina_cls", "retina_reg", "conv_cls",
+                              "conv_reg", "conv_centerness"):
                 _put(params, ["bbox_head_m", parts[1],
                               "kernel" if leaf == "weight" else "bias"],
                      _conv_w(v) if leaf == "weight"
                      else v.astype(np.float32))
+            elif parts[1] == "scales":
+                # mmcv Scale (FCOS per-level regression scale) -> scale{i}
+                _put(params, ["bbox_head_m", f"scale{int(parts[2])}",
+                              "scale"], v.astype(np.float32))
             else:
                 unmapped.append(k)
         else:
