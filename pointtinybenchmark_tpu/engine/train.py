@@ -155,7 +155,9 @@ def train_detector(model, dataset, cfg, work_dir: str,
                         # variable image sizes: aspect grouping keeps the
                         # max-in-batch padding small (GroupSampler parity)
                         group_by_aspect=loader_cfg.get("pad_shape") is None,
-                        num_workers=int(workers) if workers else None)
+                        num_workers=int(workers) if workers else None,
+                        use_processes=bool(
+                            loader_cfg.get("use_processes", False)))
     iters_per_epoch = len(loader)
 
     runner_cfg = cfg.get("runner", dict(type="EpochBasedRunner", max_epochs=12))
