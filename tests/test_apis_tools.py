@@ -317,3 +317,45 @@ def test_robustness_eval_tool(tmp_path, monkeypatch):
     assert abs(mPC - ((0.35 + 0.4) / 2)) < 1e-9
     monkeypatch.setattr(sys, "argv", ["x", str(f)])
     mod.main()
+
+
+def test_housekeeping_tools(tmp_path):
+    """exp/tools housekeeping parity (clear_tmp_pth.py + sync_log.py):
+    checkpoint sweep keeps the newest epoch (file OR orbax dir) per work
+    dir; sync_log collects the newest .log + log.json preserving paths."""
+    import os
+    import sys
+    import os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools",
+                                "misc"))
+    import clear_tmp_ckpt
+    import sync_log
+
+    wd = tmp_path / "work" / "expA"
+    wd.mkdir(parents=True)
+    for n in (1, 2, 3):
+        (wd / f"epoch_{n}.ckpt").write_bytes(b"x")
+    (wd / "epoch_4").mkdir()                      # orbax dir ckpt
+    (wd / "epoch_4" / "blob").write_bytes(b"y")
+    (wd / "latest.ckpt").write_bytes(b"x")
+    removed = clear_tmp_ckpt.sweep([str(tmp_path / "work")])
+    assert sorted(os.path.basename(r) for r in removed) == \
+        ["epoch_1.ckpt", "epoch_2.ckpt", "epoch_3.ckpt"]
+    assert (wd / "epoch_4").is_dir()              # newest kept
+    assert (wd / "latest.ckpt").exists()          # alias untouched
+
+    # sync_log: newest .log + log.json collected, relpaths preserved
+    (wd / "a.log").write_text("old")
+    (wd / "b.log").write_text("new")
+    os.utime(wd / "a.log", (1, 1))
+    (wd / "log.json").write_text("{}")
+    dst = tmp_path / "synced"
+    for p in sync_log.collect(str(tmp_path / "work")):
+        rel = os.path.relpath(p, str(tmp_path / "work"))
+        out = dst / rel
+        out.parent.mkdir(parents=True, exist_ok=True)
+        import shutil
+        shutil.copy2(p, out)
+    assert (dst / "expA" / "b.log").exists()
+    assert not (dst / "expA" / "a.log").exists()
+    assert (dst / "expA" / "log.json").exists()
