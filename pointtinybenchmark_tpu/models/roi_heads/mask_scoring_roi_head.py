@@ -128,7 +128,7 @@ class MaskScoringRoIHead(StandardRoIHead):
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), m)[:, None]
         mask_rois = jnp.concatenate(
             [batch_idx, det_boxes.reshape(b * m, 4)], 1)
-        mask_feats = self._extract(feats, mask_rois)
+        mask_feats = self._extract_mask(feats, mask_rois)
         msz = masks.shape[2]
         iou_pred = self.mask_iou_head_m(
             mask_feats, masks.reshape(b * m, msz, msz))

@@ -70,6 +70,21 @@ class StandardRoIHead(nn.Module):
     def num_classes(self) -> int:
         return int(self.bbox_head["num_classes"])
 
+    @property
+    def _mask_extractor_cfg(self) -> dict:
+        """The mask branch's own extractor (mmdet mask_roi_extractor:
+        RoIAlign output_size=14 in the stock MaskRCNN config), falling
+        back to the bbox extractor when share_roi_extractor semantics
+        apply (mask_roi_extractor=None)."""
+        cfg = dict(self.mask_roi_extractor or self.bbox_roi_extractor or {})
+        roi_layer = dict(cfg.get("roi_layer", {}))
+        return dict(
+            featmap_strides=tuple(cfg.get("featmap_strides", (4, 8, 16, 32))),
+            output_size=int(roi_layer.get("output_size", 14)),
+            sampling_ratio=(int(roi_layer.get("sampling_ratio", 0)) or 2),
+            finest_scale=float(cfg.get("finest_scale", 56)),
+            aligned=bool(roi_layer.get("aligned", True)))
+
     # ------------------------------------------------------------- extract
     def _extract(self, feats, rois: jnp.ndarray) -> jnp.ndarray:
         ec = self._extractor_cfg
@@ -80,6 +95,14 @@ class StandardRoIHead(nn.Module):
             return generic_roi_extract(
                 feats[:n_lvl], rois, ec["featmap_strides"],
                 ec["output_size"], ec["sampling_ratio"], ec["aggregation"])
+        return single_roi_extract(feats[:n_lvl], rois,
+                                  ec["featmap_strides"], ec["output_size"],
+                                  ec["sampling_ratio"], ec["finest_scale"],
+                                  ec["aligned"])
+
+    def _extract_mask(self, feats, rois: jnp.ndarray) -> jnp.ndarray:
+        ec = self._mask_extractor_cfg
+        n_lvl = len(ec["featmap_strides"])
         return single_roi_extract(feats[:n_lvl], rois,
                                   ec["featmap_strides"], ec["output_size"],
                                   ec["sampling_ratio"], ec["finest_scale"],
@@ -175,10 +198,24 @@ class StandardRoIHead(nn.Module):
                    batch) -> Dict[str, jnp.ndarray]:
         from .mask_head import mask_target
         nc = self.num_classes
-        labels_flat = roi_labels.reshape(-1)
-        pos_flat = pos_w.reshape(-1)
-        mask_feats = self._extract(feats, rois)  # reuse bbox extractor cfg
-        mask_logits = self.mask_head_m(mask_feats)  # (B*S, 2s, 2s, nc)
+        # mmdet runs the mask branch on POSITIVE rois only
+        # (standard_roi_head.py _mask_forward_train: pos_rois). The sampler
+        # already caps positives at num*pos_fraction per image, so a static
+        # per-image top-k gather of that budget captures every positive
+        # while cutting mask-branch compute (512 -> 128 rois at stock cfg).
+        b, s = pos_w.shape
+        scfg = dict((self.train_cfg or {}).get("sampler", {}))
+        pos_budget = max(1, int(int(scfg.get("num", 512))
+                                * float(scfg.get("pos_fraction", 0.25))))
+        pos_budget = min(pos_budget, s)
+        _, sel = jax.lax.top_k(pos_w, pos_budget)            # (B, K)
+        sel_flat = (sel + jnp.arange(b)[:, None] * s).reshape(-1)
+        rois = rois[sel_flat]
+        labels_flat = jnp.take_along_axis(roi_labels, sel, 1).reshape(-1)
+        pos_flat = jnp.take_along_axis(pos_w, sel, 1).reshape(-1)
+        gt_idx = jnp.take_along_axis(gt_idx, sel, 1)
+        mask_feats = self._extract_mask(feats, rois)
+        mask_logits = self.mask_head_m(mask_feats)  # (B*K, 2s, 2s, nc)
         msz = mask_logits.shape[1]
         targets = mask_target(batch["gt_masks"].astype(jnp.float32),
                               rois, gt_idx.reshape(-1), msz)
@@ -295,7 +332,7 @@ class StandardRoIHead(nn.Module):
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), m)[:, None]
         mask_rois = jnp.concatenate(
             [batch_idx, det_boxes.reshape(b * m, 4)], 1)
-        mask_feats = self._extract(feats, mask_rois)
+        mask_feats = self._extract_mask(feats, mask_rois)
         mask_logits = self.mask_head_m(mask_feats)
         msz = mask_logits.shape[1]
         safe_lbl = jnp.clip(dets.labels.reshape(-1), 0, nc - 1)

@@ -244,3 +244,40 @@ def test_mask_scoring_rcnn_forward_backward():
     g = jax.grad(total)(variables)
     giou = g["params"]["roi_head_m"]["mask_iou_head_m"]["fc_mask_iou"]["kernel"]
     assert float(jnp.abs(giou).sum()) > 0
+
+
+def test_mask_roi_extractor_resolution():
+    """The mask branch must honor mask_roi_extractor (mmdet MaskRCNN:
+    RoIAlign output_size=14 -> 28x28 mask crops after the deconv), not the
+    bbox extractor's 7x7 (mmdet configs/_base_/models/mask_rcnn_r50_fpn.py)."""
+    from pointtinybenchmark_tpu.models.roi_heads.standard_roi_head import \
+        StandardRoIHead
+    head = StandardRoIHead(
+        bbox_roi_extractor=dict(
+            roi_layer=dict(type="RoIAlign", output_size=7, sampling_ratio=0),
+            out_channels=8, featmap_strides=[4, 8, 16, 32]),
+        bbox_head=dict(type="Shared2FCBBoxHead", num_classes=2,
+                       in_channels=8, fc_out_channels=16, roi_feat_size=7,
+                       loss_cls=dict(type="CrossEntropyLoss"),
+                       loss_bbox=dict(type="L1Loss")),
+        mask_roi_extractor=dict(
+            roi_layer=dict(type="RoIAlign", output_size=14,
+                           sampling_ratio=0),
+            out_channels=8, featmap_strides=[4, 8, 16, 32]),
+        mask_head=dict(type="FCNMaskHead", num_convs=1, in_channels=8,
+                       conv_out_channels=8, num_classes=2),
+        test_cfg=dict(score_thr=0.0, nms=dict(iou_threshold=0.5),
+                      max_per_img=4))
+    ec = head._mask_extractor_cfg
+    assert ec["output_size"] == 14
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.rand(1, 64 // s, 64 // s, 8), jnp.float32)
+             for s in (4, 8, 16, 32)]
+    props = jnp.asarray([[[4.0, 4.0, 28.0, 28.0], [10.0, 8.0, 40.0, 44.0]]])
+    valid = jnp.ones((1, 2), bool)
+    shapes = jnp.asarray([[64, 64]], jnp.int32)
+    variables = head.init(jax.random.PRNGKey(0), feats, props, valid,
+                          shapes, method=head.simple_test)
+    dets, crops = head.apply(variables, feats, props, valid, shapes,
+                             method=head.simple_test)
+    assert crops.shape == (1, 4, 28, 28)
