@@ -308,48 +308,93 @@ def _probe_devices(timeout_s: float = 180.0):
     return out["devices"]
 
 
-def main():
+def _try(extra: dict, key: str, fn):
+    """Fail-soft bench entry: one model crash costs one JSON field, not the
+    round's whole record (VERDICT r3 weak #2). Returns fn() or None."""
+    import sys
+    import traceback
+    try:
+        return fn()
+    except BaseException as e:                       # incl. TPU worker faults
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        traceback.print_exc(file=sys.stderr)
+        extra[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        return None
+
+
+def smoke():
+    """On-TPU smoke gate (<2 min): build the protocol model, run one tiled
+    simple_test at protocol batch, fetch the result. Run this before every
+    end-of-round snapshot — a TPU-runtime fault that passes CPU CI (like the
+    round-3 bool-gather crash) must be caught here, not by the driver."""
     _probe_devices()
     retina = build_from_config(
         "configs/tinyperson/retinanet_r50_fpns4_1x_tinyperson640_clipg.py")
-    retina_ips, retina_fwd, retina_infer, n_img = bench_tiled(
-        retina, return_infer=True)
-    e2e_ips = bench_e2e_host(retina_infer, n_img)
-    del retina, retina_infer
-    frcnn = build_from_config(
-        "configs/tinyperson/faster_rcnn_r50_fpn_1x_tinyperson640.py")
-    frcnn_ips, frcnn_fwd = bench_tiled(frcnn)
-    del frcnn
-    mask_ips, paste_ms = bench_mask()
-    p2p_ips = bench_p2p()
+    ips, fwd = bench_tiled(retina, n_images=2, n_iters=1)
+    print(json.dumps({"smoke": "ok", "img_per_s_1iter": round(ips, 2)}))
 
+
+def main():
+    _probe_devices()
     n_tiles = len(tile_offsets())
+    extra = {"tiles_per_image": n_tiles}
+
+    def run_retina():
+        retina = build_from_config(
+            "configs/tinyperson/retinanet_r50_fpns4_1x_tinyperson640_clipg.py")
+        ips, fwd, infer, n_img = bench_tiled(retina, return_infer=True)
+        extra["adap_retinanet_c"] = {
+            "img_per_s": round(ips, 2),
+            "tile_per_s": round(ips * n_tiles, 2),
+            "forward_only_img_per_s": round(fwd, 2)}
+        # honest companion: JPEG decode + tile + normalize on host,
+        # overlapped with the device step (1 host core)
+        e2e = _try(extra, "e2e_with_host", lambda: bench_e2e_host(infer, n_img))
+        if e2e is not None:
+            extra["e2e_with_host_img_per_s"] = round(e2e, 2)
+        return ips
+
+    retina_ips = _try(extra, "adap_retinanet_c", run_retina)
+
+    def run_frcnn():
+        ips, fwd = bench_tiled(build_from_config(
+            "configs/tinyperson/faster_rcnn_r50_fpn_1x_tinyperson640.py"))
+        extra["faster_rcnn"] = {
+            "img_per_s": round(ips, 2),
+            "tile_per_s": round(ips * n_tiles, 2),
+            "forward_only_img_per_s": round(fwd, 2)}
+
+    _try(extra, "faster_rcnn", run_frcnn)
+
+    def run_mask():
+        ips, paste_ms = bench_mask()
+        extra["mask_rcnn"] = {
+            "img_per_s": round(ips, 2),
+            "tile_per_s": round(ips * n_tiles, 2),
+            "host_paste_ms_per_100dets_1080p": round(paste_ms, 1)}
+
+    _try(extra, "mask_rcnn", run_mask)
+
+    def run_p2p():
+        extra["p2p_flagship_640x512"] = {"img_per_s": round(bench_p2p(), 2)}
+
+    _try(extra, "p2p_flagship_640x512", run_p2p)
+
     print(json.dumps({
         "metric": "tinyperson_protocol_adap_retinanet_c_tiled_1920x1080",
-        "value": round(retina_ips, 2),
+        "value": round(retina_ips, 2) if retina_ips else 0.0,
         "unit": "img/s/chip",
-        "vs_baseline": round(retina_ips * n_tiles / MMDET_A100_IMG_PER_S, 3),
-        "extra": {
-            "tiles_per_image": n_tiles,
-            # honest companion: JPEG decode + tile + normalize on host,
-            # overlapped with the device step (1 host core)
-            "e2e_with_host_img_per_s": round(e2e_ips, 2),
-            "adap_retinanet_c": {
-                "img_per_s": round(retina_ips, 2),
-                "tile_per_s": round(retina_ips * n_tiles, 2),
-                "forward_only_img_per_s": round(retina_fwd, 2)},
-            "faster_rcnn": {
-                "img_per_s": round(frcnn_ips, 2),
-                "tile_per_s": round(frcnn_ips * n_tiles, 2),
-                "forward_only_img_per_s": round(frcnn_fwd, 2)},
-            "mask_rcnn": {
-                "img_per_s": round(mask_ips, 2),
-                "tile_per_s": round(mask_ips * n_tiles, 2),
-                "host_paste_ms_per_100dets_1080p": round(paste_ms, 1)},
-            "p2p_flagship_640x512": {"img_per_s": round(p2p_ips, 2)},
-        },
+        "vs_baseline": round(
+            retina_ips * n_tiles / MMDET_A100_IMG_PER_S, 3)
+        if retina_ips else 0.0,
+        "extra": extra,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--smoke" in sys.argv[1:]:
+        smoke()
+    else:
+        main()

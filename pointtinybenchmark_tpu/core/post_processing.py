@@ -72,7 +72,12 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     top_boxes = flat_boxes[top_idx]
     top_labels = flat_labels[top_idx]
-    top_valid = ok[top_idx]
+    # NOTE: after the where() above every invalid entry is exactly -1 and
+    # every surviving score/product is >= 0, so a threshold test recovers the
+    # validity of the top-k rows. A boolean gather (`ok[top_idx]`) is
+    # semantically identical but was observed to fault the TPU worker at
+    # protocol shape (B=24 x 20k candidates) — keep the arithmetic form.
+    top_valid = top_scores > -0.5
 
     keep_idx, num_kept = batched_nms(top_boxes, top_scores, top_labels,
                                      iou_threshold, max_per_img,
