@@ -70,9 +70,10 @@ class MILLoss:
         prob_ins = _masked_softmax(ins, vmask, axis=1)
         prob = (prob_cls * prob_ins).sum(axis=1)              # (B, C, k)
 
-        acc = accuracy(prob[..., 0], labels)
-
         label_weights = (valid.sum(axis=1) > 0).astype(jnp.float32)  # (B, 1/C)
+        # accuracy over real (non-padded) bags only — the reference sees
+        # exactly num_gts bags, we see padded rows with zero weight
+        acc = accuracy(prob[..., 0], labels, mask=label_weights.sum(-1) > 0)
         onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)        # (B, C)
         num_sample = jnp.maximum(
             jnp.sum((label_weights.sum(-1) > 0).astype(jnp.float32)), 1.0)

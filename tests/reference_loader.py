@@ -661,3 +661,128 @@ def ref_roi_extractor():
              force_fp32=_noop_decorator,
              ROI_EXTRACTORS=_Registry()))
     return types.SimpleNamespace(SingleRoIExtractor=ext.SingleRoIExtractor)
+
+
+# =====================================================================
+# Round-4 additions: exec the FULL reference point heads (CPR / P2P) so
+# the flagship point stack gets detector-level goldens (VERDICT r3 #5).
+# =====================================================================
+
+@lru_cache(maxsize=None)
+def ref_point_generator():
+    return load_ref("core/anchor/point_generator.py")
+
+
+def build_ref_match_cost(cfg):
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    return getattr(ref_match_costs(), t)(**cfg)
+
+
+@lru_cache(maxsize=None)
+def ref_hungarian():
+    """HungarianAssignerV2 (hungarian_assigner.py:150-271) with scipy LSA."""
+    ar = load_ref("core/bbox/assigners/assign_result.py",
+                  dict(util_mixins=types.SimpleNamespace(NiceRepr=object)))
+    t = ref_transforms()
+    return load_ref(
+        "core/bbox/assigners/hungarian_assigner.py",
+        dict(build_match_cost=build_ref_match_cost,
+             bbox_cxcywh_to_xyxy=t.bbox_cxcywh_to_xyxy,
+             AssignResult=ar.AssignResult, BaseAssigner=object))
+
+
+@lru_cache(maxsize=None)
+def ref_point_loss_modules():
+    """MSELoss + the stock losses the point heads build."""
+    u = ref_loss_utils()
+    mse = load_ref("models/losses/mse_loss.py",
+                   dict(weighted_loss=u.weighted_loss))
+    base = ref_loss_modules()
+    mil = ref_mil_loss()
+    return types.SimpleNamespace(MSELoss=mse.MSELoss, MILLoss=mil.MILLoss,
+                                 **{k: getattr(base, k) for k in
+                                    ("FocalLoss", "SmoothL1Loss", "L1Loss",
+                                     "CrossEntropyLoss", "IoULoss",
+                                     "GIoULoss")})
+
+
+def build_ref_point_loss(cfg):
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    return getattr(ref_point_loss_modules(), t)(**cfg)
+
+
+def _build_point_assigner(cfg):
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    assert t == "HungarianAssignerV2", t
+    return ref_hungarian().HungarianAssignerV2(**cfg)
+
+
+def _point_head_extras():
+    """Shared exec environment for the reference point dense heads."""
+    mi = ref_misc()
+    post = ref_post_processing()
+    t = ref_transforms()
+    pg = ref_point_generator()
+    samplers = ref_samplers()
+
+    def build_point_sampler(cfg, **kw):
+        cfg = dict(cfg)
+        tname = cfg.pop("type", "PseudoSampler")
+        return getattr(samplers, tname)(**cfg)
+
+    extras = dict(
+        force_fp32=_noop_decorator,
+        auto_fp16=_noop_decorator,
+        multi_apply=mi.multi_apply,
+        unmap=mi.unmap,
+        images_to_levels=mi.images_to_levels,
+        anchor_inside_flags=mi.anchor_inside_flags,
+        build_assigner=_build_point_assigner,
+        build_sampler=build_point_sampler,
+        build_loss=build_ref_point_loss,
+        multiclass_nms=post.multiclass_nms,
+        batched_nms=ref_batched_nms,
+        distance2bbox=t.distance2bbox,
+        PointGenerator=pg.PointGenerator,
+        ConvModule=_torch_conv_module(),
+        Scale=_torch_scale(),
+        DeformConv2d=object,
+        BaseModule=_torch_base_module(),
+        BBoxTestMixin=object,
+        # local `from mmdet...` imports inside method bodies get stripped;
+        # inject the two names they bind (p2p_head.py:402, cpr_head.py:1148)
+        bbox_xyxy_to_cxcywh=t.bbox_xyxy_to_cxcywh,
+        weight_reduce_loss=ref_loss_utils().weight_reduce_loss,
+        accuracy=ref_accuracy().accuracy,
+    )
+    bd = load_ref("models/dense_heads/base_dense_head.py",
+                  dict(BaseModule=_torch_base_module()))
+    extras["BaseDenseHead"] = bd.BaseDenseHead
+    af = load_ref("models/dense_heads/anchor_free_head.py", dict(extras))
+    extras["AnchorFreeHead"] = af.AnchorFreeHead
+    return extras
+
+
+@lru_cache(maxsize=None)
+def ref_p2p_head():
+    """Reference P2PHead whole (point/dense_heads/p2p_head.py:19-572)."""
+    mod = load_ref("models/point/dense_heads/p2p_head.py",
+                   dict(_point_head_extras()))
+    return types.SimpleNamespace(P2PHead=mod.P2PHead)
+
+
+@lru_cache(maxsize=None)
+def ref_cpr_head():
+    """Reference CPRHead whole (point/dense_heads/cpr_head.py:899-1310),
+    incl. PointExtractor (:602), generators (:125-547), PointRefiner
+    (:665-895)."""
+    mod = load_ref("models/point/dense_heads/cpr_head.py",
+                   dict(_point_head_extras()))
+    return types.SimpleNamespace(
+        CPRHead=mod.CPRHead, PointExtractor=mod.PointExtractor,
+        PointRefiner=mod.PointRefiner,
+        CirclePtFeatGenerator=mod.CirclePtFeatGenerator,
+        OutCirclePtFeatGenerator=mod.OutCirclePtFeatGenerator)

@@ -180,7 +180,7 @@ def convert_detector_state_dict(sd, depth: int):
                 unmapped.append(k)
         elif k.startswith("bbox_head."):
             leaf = parts[-1]
-            if parts[1] in ("cls_convs", "reg_convs"):
+            if parts[1] in ("cls_convs", "reg_convs", "ins_convs"):
                 i = int(parts[2])
                 name = parts[1][:3] + f"_conv{i}"
                 if parts[3] == "conv":
@@ -206,6 +206,20 @@ def convert_detector_state_dict(sd, depth: int):
                 # mmcv Scale (FCOS per-level regression scale) -> scale{i}
                 _put(params, ["bbox_head_m", f"scale{int(parts[2])}",
                               "scale"], v.astype(np.float32))
+            elif parts[1] in ("cls_out", "reg_out", "ins_out"):
+                # P2P (Conv2d outs) / CPR (Linear outs) point heads —
+                # disambiguate by weight rank
+                w = (_conv_w(v) if v.ndim == 4 else _fc_w(v)) \
+                    if leaf == "weight" else v.astype(np.float32)
+                _put(params, ["bbox_head_m", parts[1],
+                              "kernel" if leaf == "weight" else "bias"], w)
+            elif parts[1] in ("cls_fcs", "ins_fcs"):
+                # CPR point-head fcs (reference cpr_head.py:1000-1006)
+                i = int(parts[2])
+                name = parts[1][:3] + f"_fc{i}"
+                _put(params, ["bbox_head_m", name,
+                              "kernel" if leaf == "weight" else "bias"],
+                     _fc_w(v) if leaf == "weight" else v.astype(np.float32))
             else:
                 unmapped.append(k)
         else:
