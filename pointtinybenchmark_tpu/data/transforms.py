@@ -428,17 +428,58 @@ class RandomCrop:
         return results
 
 
+def rgb_to_hsv_cv(img: np.ndarray) -> np.ndarray:
+    """Float HSV with cv2 conventions: H degrees [0, 360), S in [0, 1],
+    V = channel max (input scale preserved). Matches mmcv.bgr2hsv's math on
+    the corresponding channel order."""
+    img = img.astype(np.float32)
+    v = img.max(axis=-1)
+    mn = img.min(axis=-1)
+    diff = v - mn
+    s = np.where(v != 0, diff / np.where(v != 0, v, 1.0), 0.0)
+    safe = np.where(diff != 0, diff, 1.0)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    h = np.where(v == r, 60.0 * (g - b) / safe,
+                 np.where(v == g, 120.0 + 60.0 * (b - r) / safe,
+                          240.0 + 60.0 * (r - g) / safe))
+    h = np.where(diff == 0, 0.0, h)
+    h = np.where(h < 0, h + 360.0, h)
+    return np.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb_cv(img: np.ndarray) -> np.ndarray:
+    """Inverse of rgb_to_hsv_cv (cv2 float HSV2BGR math)."""
+    h, s, v = img[..., 0], img[..., 1], img[..., 2]
+    h60 = (h / 60.0) % 6.0
+    i = np.floor(h60)
+    f = h60 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(np.int32)
+    r = np.choose(i % 6, [v, q, p, p, t, v])
+    g = np.choose(i % 6, [t, v, v, q, p, p])
+    b = np.choose(i % 6, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+
 @PIPELINES.register_module()
 class PhotoMetricDistortion:
-    """Brightness/contrast/saturation jitter (simplified HSV-free variant of
-    mmdet's; hue shift omitted)."""
+    """Photometric jitter, full parity with the reference sequence
+    (mmdet datasets/pipelines/transforms.py:914-1005): random brightness ->
+    random contrast (mode 1) -> HSV -> random saturation (S *= u) -> random
+    hue (H += u, wrap at 360, :986-990) -> back to color -> random contrast
+    (mode 0) -> random channel swap. RNG draw order matches the reference
+    exactly; images stay unclipped floats (Normalize follows in the
+    pipeline, as in mmdet)."""
 
     def __init__(self, brightness_delta: int = 32,
                  contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
                  hue_delta: int = 18):
         self.brightness_delta = brightness_delta
-        self.contrast_range = contrast_range
-        self.saturation_range = saturation_range
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
 
     def __call__(self, results: dict) -> dict:
         rng: np.random.RandomState = results.get(
@@ -447,12 +488,25 @@ class PhotoMetricDistortion:
         if rng.randint(2):
             img = img + rng.uniform(-self.brightness_delta,
                                     self.brightness_delta)
+        mode = rng.randint(2)
+        if mode == 1 and rng.randint(2):
+            img = img * rng.uniform(self.contrast_lower, self.contrast_upper)
+
+        img = rgb_to_hsv_cv(img)
         if rng.randint(2):
-            img = img * rng.uniform(*self.contrast_range)
+            img[..., 1] *= rng.uniform(self.saturation_lower,
+                                       self.saturation_upper)
         if rng.randint(2):
-            gray = img.mean(axis=2, keepdims=True)
-            img = gray + (img - gray) * rng.uniform(*self.saturation_range)
-        results["img"] = np.clip(img, 0, 255)
+            img[..., 0] += rng.uniform(-self.hue_delta, self.hue_delta)
+            img[..., 0][img[..., 0] > 360] -= 360
+            img[..., 0][img[..., 0] < 0] += 360
+        img = hsv_to_rgb_cv(img)
+
+        if mode == 0 and rng.randint(2):
+            img = img * rng.uniform(self.contrast_lower, self.contrast_upper)
+        if rng.randint(2):
+            img = img[..., rng.permutation(3)]
+        results["img"] = img
         return results
 
 

@@ -619,3 +619,77 @@ def test_import_modules_from_strings(tmp_path, monkeypatch):
                                       allow_failed_imports=True)
     assert out == [None]
     sys.modules.pop("my_custom_mod", None)
+
+
+# ---------------------------------------------------------------------------
+# PhotoMetricDistortion (round 4: full HSV hue/saturation parity —
+# reference mmdet datasets/pipelines/transforms.py:914-1005)
+# ---------------------------------------------------------------------------
+
+def test_hsv_roundtrip_and_matplotlib_golden():
+    """rgb_to_hsv_cv/hsv_to_rgb_cv vs matplotlib.colors (independent
+    implementation; cv2 float convention differs only by H in degrees)."""
+    import matplotlib.colors as mcolors
+    from pointtinybenchmark_tpu.data.transforms import (rgb_to_hsv_cv,
+                                                        hsv_to_rgb_cv)
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 17, 3).astype(np.float32) * 255.0
+
+    hsv = rgb_to_hsv_cv(img)
+    m = mcolors.rgb_to_hsv(img / 255.0)
+    np.testing.assert_allclose(hsv[..., 0], m[..., 0] * 360.0, atol=2e-3)
+    np.testing.assert_allclose(hsv[..., 1], m[..., 1], atol=1e-5)
+    np.testing.assert_allclose(hsv[..., 2], m[..., 2] * 255.0, atol=1e-3)
+
+    back = hsv_to_rgb_cv(hsv)
+    np.testing.assert_allclose(back, img, atol=1e-3)
+
+    # hue shift by 360 degrees is the identity
+    shifted = hsv.copy()
+    shifted[..., 0] = (shifted[..., 0] + 360.0) % 360.0
+    np.testing.assert_allclose(hsv_to_rgb_cv(shifted), img, atol=1e-3)
+
+
+def test_photometric_sequence_golden_vs_reference():
+    """Op sequence + RNG draw-order parity: exec the reference
+    PhotoMetricDistortion (transforms.py:914-1005) with our HSV converters
+    injected for its mmcv calls and an identical seeded RNG for its
+    `random` module; outputs must match bit-for-bit per seed. The HSV
+    converters themselves are pinned independently against matplotlib
+    above, so this composition golden is not circular."""
+    import types
+    from reference_loader import load_ref
+    from pointtinybenchmark_tpu.data.transforms import (PhotoMetricDistortion,
+                                                        rgb_to_hsv_cv,
+                                                        hsv_to_rgb_cv)
+
+    mmcv_stub = types.SimpleNamespace(bgr2hsv=rgb_to_hsv_cv,
+                                      hsv2bgr=hsv_to_rgb_cv)
+    for seed in range(6):
+        ref_rng = np.random.RandomState(seed)
+        mod = load_ref(
+            "datasets/pipelines/transforms.py",
+            extra=dict(mmcv=mmcv_stub, random=ref_rng,
+                       PIPELINES=_RegistryStub(), BitmapMasks=object,
+                       PolygonMasks=object, find_inside_bboxes=None,
+                       log_img_scale=None, Number=(int, float)),
+            # the module-level numpy import would shadow the injected
+            # seeded `random`
+            replace=(("from numpy import random", "pass"),))
+        ref_t = mod.PhotoMetricDistortion()
+        rng = np.random.RandomState(seed)
+        img = (np.random.RandomState(99).rand(8, 9, 3) * 255).astype(
+            np.float32)
+        ref_out = ref_t({"img": img.copy()})["img"]
+
+        ours = PhotoMetricDistortion()
+        got = ours({"img": img.copy(), "_rng": np.random.RandomState(seed)})
+        np.testing.assert_allclose(got["img"], ref_out, atol=1e-4,
+                                   err_msg=f"seed {seed}")
+
+
+class _RegistryStub:
+    def register_module(self, *a, **k):
+        if a and isinstance(a[0], type):
+            return a[0]
+        return lambda cls: cls
