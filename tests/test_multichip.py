@@ -166,3 +166,96 @@ def test_dp_two_stage_step(tmp_path):
     _, m = step(state, sbatch, jax.random.PRNGKey(3))
     assert np.isfinite(float(m["loss"]))
     np.testing.assert_allclose(float(m["loss"]), loss0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 #6): EVAL-side multi-chip — tiled inference sharded
+# over the data axis + the on-device global merge must produce detections
+# identical to the single-device run (reference role: multi_gpu_test +
+# result collection, mmdet/apis/test.py:69-160).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tiled_inference_and_merge_match_single_device():
+    from pointtinybenchmark_tpu.models import build_detector
+    from pointtinybenchmark_tpu.ops.nms import batched_nms_large
+    from pointtinybenchmark_tpu.parallel import make_mesh, replicate, \
+        shard_batch
+
+    model = build_detector(
+        dict(type="SingleStageDetector",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0,
+                       add_extra_convs="on_input", num_outs=5),
+             bbox_head=dict(
+                 type="RetinaHead", num_classes=2, in_channels=16,
+                 feat_channels=16, stacked_convs=1,
+                 anchor_generator=dict(type="AnchorGenerator",
+                                       octave_base_scale=2,
+                                       scales_per_octave=3,
+                                       ratios=[0.5, 1.0, 2.0],
+                                       strides=[4, 8, 16, 32, 64]),
+                 bbox_coder=dict(target_means=[0, 0, 0, 0],
+                                 target_stds=[1, 1, 1, 1]),
+                 loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                               gamma=2.0, alpha=0.25, loss_weight=1.0),
+                 loss_bbox=dict(type="L1Loss", loss_weight=1.0))),
+        None,
+        dict(nms_pre=200, score_thr=0.02,
+             nms=dict(type="nms", iou_threshold=0.5), max_per_img=50))
+
+    # 2 images x 4 tiles = 8 tiles, one per virtual device
+    n_img, v = 2, 4
+    b = n_img * v
+    rng = np.random.RandomState(0)
+    tiles = jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32)
+    img_shape = jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (b, 1))
+    offs = np.asarray([[0, 0], [48, 0], [0, 40], [48, 40]], np.float32)
+    shift = jnp.asarray(np.tile(np.concatenate([offs, offs], 1),
+                                (n_img, 1)))[:, None, :]      # (B, 1, 4)
+    variables = model.init(jax.random.PRNGKey(0), tiles[:1], train=False)
+
+    def infer(tiles, img_shape):
+        out = model.apply(variables, tiles, img_shape, None, False,
+                          method=model.simple_test)
+        dets = out
+        while not hasattr(dets, "bboxes"):
+            dets = dets[0]
+        boxes = dets.bboxes[..., :4] + shift
+        scores = dets.bboxes[..., 4]
+        m = boxes.shape[1]
+        bi = boxes.reshape(n_img, v * m, 4)
+        si = scores.reshape(n_img, v * m)
+        li = dets.labels.reshape(n_img, v * m)
+        vi = dets.valid.reshape(n_img, v * m)
+        outs = [batched_nms_large(bi[i], si[i], li[i], 0.5, 100,
+                                  valid_mask=vi[i]) for i in range(n_img)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]),
+                bi, si, li)
+
+    # single-device reference
+    keep0, num0, b0, s0, l0 = jax.jit(infer)(tiles, img_shape)
+
+    # 8-way dp: tiles sharded over the data axis, params replicated; the
+    # per-image merge gathers tile dets across devices (XLA collectives)
+    mesh = make_mesh(num_data=8, num_model=1, devices=jax.devices()[:8])
+    variables = replicate(variables, mesh)
+    sharded = shard_batch(dict(img=tiles, img_shape=img_shape), mesh)
+    keep1, num1, b1, s1, l1 = jax.jit(infer)(sharded["img"],
+                                             sharded["img_shape"])
+
+    np.testing.assert_array_equal(np.asarray(num0), np.asarray(num1))
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
+    k0, k1 = np.asarray(keep0), np.asarray(keep1)
+    np.testing.assert_array_equal(k0, k1)
+    # merged detections decoded from keep indices agree exactly
+    for i in range(n_img):
+        sel0 = k0[i][k0[i] >= 0]
+        sel1 = k1[i][k1[i] >= 0]
+        np.testing.assert_allclose(np.asarray(b0)[i][sel0],
+                                   np.asarray(b1)[i][sel1], atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(l0)[i][sel0],
+                                      np.asarray(l1)[i][sel1])
