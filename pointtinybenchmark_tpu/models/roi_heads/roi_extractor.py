@@ -36,10 +36,23 @@ def single_roi_extract(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                        featmap_strides: Sequence[int],
                        output_size: int = 7, sampling_ratio: int = 2,
                        finest_scale: float = 56.0,
-                       aligned: bool = True) -> jnp.ndarray:
-    """feats: per-level (B, H, W, C); rois (R, 5) -> (R, out, out, C)."""
+                       aligned: bool = True,
+                       use_pallas: bool = False) -> jnp.ndarray:
+    """feats: per-level (B, H, W, C); rois (R, 5) -> (R, out, out, C).
+
+    `use_pallas=True` (opt-in, TPU only, C % 128 == 0) routes the forward
+    through the window-DMA MXU kernel (ops/roi_align_pallas.py) — identical
+    numerics (golden-tested), one contiguous copy per roi instead of
+    R*S*S*4 random row gathers; backward still uses the XLA gather VJP.
+    """
     num_levels = len(featmap_strides)
     lvls = map_roi_levels(rois, num_levels, finest_scale)
+    if use_pallas and feats[0].shape[-1] % 128 == 0:
+        from ...ops.roi_align_pallas import roi_align_multilevel_pallas
+        return roi_align_multilevel_pallas(tuple(feats), rois, lvls,
+                                           tuple(featmap_strides),
+                                           output_size, sampling_ratio,
+                                           aligned)
     return roi_align_multilevel(tuple(feats), rois, lvls,
                                 tuple(featmap_strides), output_size,
                                 sampling_ratio, aligned)

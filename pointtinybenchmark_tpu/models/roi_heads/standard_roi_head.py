@@ -56,7 +56,8 @@ class StandardRoIHead(nn.Module):
             finest_scale=float(cfg.get("finest_scale", 56)),
             aligned=bool(roi_layer.get("aligned", True)),
             generic=cfg.get("type") == "GenericRoIExtractor",
-            aggregation=str(cfg.get("aggregation", "sum")))
+            aggregation=str(cfg.get("aggregation", "sum")),
+            use_pallas=bool(cfg.get("use_pallas", False)))
 
     def _coder_params(self):
         cfg = dict((self.bbox_head or {}).get("bbox_coder", {}))
@@ -83,7 +84,8 @@ class StandardRoIHead(nn.Module):
             output_size=int(roi_layer.get("output_size", 14)),
             sampling_ratio=(int(roi_layer.get("sampling_ratio", 0)) or 2),
             finest_scale=float(cfg.get("finest_scale", 56)),
-            aligned=bool(roi_layer.get("aligned", True)))
+            aligned=bool(roi_layer.get("aligned", True)),
+            use_pallas=bool(cfg.get("use_pallas", False)))
 
     # ------------------------------------------------------------- extract
     def _extract(self, feats, rois: jnp.ndarray) -> jnp.ndarray:
@@ -98,7 +100,8 @@ class StandardRoIHead(nn.Module):
         return single_roi_extract(feats[:n_lvl], rois,
                                   ec["featmap_strides"], ec["output_size"],
                                   ec["sampling_ratio"], ec["finest_scale"],
-                                  ec["aligned"])
+                                  ec["aligned"],
+                                  use_pallas=ec.get("use_pallas", False))
 
     def _extract_mask(self, feats, rois: jnp.ndarray) -> jnp.ndarray:
         ec = self._mask_extractor_cfg
@@ -106,7 +109,8 @@ class StandardRoIHead(nn.Module):
         return single_roi_extract(feats[:n_lvl], rois,
                                   ec["featmap_strides"], ec["output_size"],
                                   ec["sampling_ratio"], ec["finest_scale"],
-                                  ec["aligned"])
+                                  ec["aligned"],
+                                  use_pallas=ec.get("use_pallas", False))
 
     # -------------------------------------------------------------- train
     def forward_train(self, feats, proposals: jnp.ndarray,
