@@ -65,13 +65,20 @@ def _with_dtype(cfg: dict, dtype: str) -> dict:
     return cfg
 
 
-def build_from_config(path: str, dtype: str = "bfloat16"):
+def build_from_config(path: str, dtype: str = "bfloat16",
+                      roi_use_pallas: bool = False):
     from pointtinybenchmark_tpu.models import build_detector
     from pointtinybenchmark_tpu.utils import Config
     cfg = Config.fromfile(path)
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") \
         else dict(cfg.model)
     model_cfg = _with_dtype(model_cfg, dtype)
+    if roi_use_pallas and isinstance(model_cfg.get("roi_head"), dict):
+        rh = dict(model_cfg["roi_head"])
+        for k in ("bbox_roi_extractor", "mask_roi_extractor"):
+            if isinstance(rh.get(k), dict):
+                rh[k] = dict(rh[k], use_pallas=True)
+        model_cfg["roi_head"] = rh
     return build_detector(model_cfg,
                           cfg.get("train_cfg") or model_cfg.get("train_cfg"),
                           cfg.get("test_cfg") or model_cfg.get("test_cfg"))
@@ -218,7 +225,12 @@ def bench_mask(n_images: int = 1, n_iters: int = 6):
     import jax
     import jax.numpy as jnp
 
-    model = build_from_config("configs/coco/mask_rcnn_r50_fpn_1x_coco.py")
+    # the S=14 mask-crop RoIAlign dominates this bench: the Pallas
+    # window-DMA kernel (ops/roi_align_pallas.py) measured 16.2 vs 4.79
+    # img/s for the XLA gather form at this exact shape (round 4 A/B,
+    # kernel parity-checked on-chip at S=14/R=1200)
+    model = build_from_config("configs/coco/mask_rcnn_r50_fpn_1x_coco.py",
+                              roi_use_pallas=True)
     offs = tile_offsets()
     v = len(offs)
     b = n_images * v

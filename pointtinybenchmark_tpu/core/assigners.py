@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.registry import BBOX_ASSIGNERS, MATCH_COSTS
+from ..ops.gather import take_rows
 from ..ops.iou import bbox_overlaps
 
 __all__ = ["MaxIoUAssigner", "HungarianAssignerV2", "topk_hungarian_match",
@@ -118,7 +119,7 @@ class MaxIoUAssigner:
 
         if gt_labels is not None:
             safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-            labels = jnp.where(assigned > 0, gt_labels[safe], -1)
+            labels = jnp.where(assigned > 0, take_rows(gt_labels, safe), -1)
         else:
             labels = jnp.full((n,), -1, jnp.int32)
         return assigned, max_overlaps, labels

@@ -23,6 +23,7 @@ from ...core.anchors import AnchorGenerator
 from ...core.assigners import MaxIoUAssigner
 from ...core.bbox import bbox2delta, delta2bbox
 from ...core.post_processing import DetResult, multiclass_nms
+from ...ops.gather import take_rows
 from ...utils.registry import HEADS, LOSSES
 from ..utils import bias_init_with_prob
 
@@ -146,7 +147,7 @@ class AnchorHead(nn.Module):
             pos = assigned > 0
             neg = assigned == 0
             safe = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-            tgt_boxes = gt_bboxes[safe]
+            tgt_boxes = take_rows(gt_bboxes, safe)
             bbox_targets = encode_fn(jnp.asarray(anchors), tgt_boxes,
                                      means, stds)
             bbox_targets = jnp.where(pos[:, None], bbox_targets, 0.0)

@@ -22,6 +22,7 @@ from flax import linen as nn
 from ...core.bbox import bbox2delta, delta2bbox
 from ...ops.iou import bbox_overlaps
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 from .anchor_head import AnchorHead
 
@@ -157,8 +158,9 @@ class ATSSHead(AnchorHead):
             assigned = atss_assign(anchors, level_sizes, gtb, gv, topk)
             pos = assigned > 0
             safe = jnp.clip(assigned - 1, 0, gtb.shape[0] - 1)
-            tgt = gtb[safe]
-            labels = jnp.where(pos, gtl[safe], self.num_classes)
+            tgt = take_rows(gtb, safe)
+            labels = jnp.where(pos, take_rows(gtl, safe),
+                               self.num_classes)
             return assigned, pos, tgt, labels
 
         assigned, pos, tgt_boxes, labels = jax.vmap(single)(

@@ -35,6 +35,7 @@ from ...ops.grid_sample import point_sample_pixel
 from ...ops.iou import bbox_overlaps, bbox_overlaps_aligned
 from ...ops.nms import nms
 from ...utils.registry import HEADS
+from ...ops.gather import take_rows
 
 __all__ = ["CascadeRPNHead", "region_assign"]
 
@@ -196,7 +197,7 @@ class CascadeRPNHead(nn.Module):
                 float(cfg1.get("assigner", {}).get("ignore_ratio", 0.5)))
             safe = jnp.clip(assigned - 1, 0, gtb.shape[0] - 1)
             refined = delta2bbox(anchors, r1, means, stds1)
-            iou1 = bbox_overlaps_aligned(refined, gtb[safe])
+            iou1 = bbox_overlaps_aligned(refined, take_rows(gtb, safe))
             posf = pos.astype(jnp.float32)
             n1 = jnp.maximum(posf.sum(), 1.0)
             loss_reg1 = ((1.0 - iou1) * posf).sum() / n1
@@ -266,6 +267,7 @@ class CascadeRPNHead(nn.Module):
             keep_idx, _ = nms(boxes, top_sc, iou_thr, max_per_img)
             valid = keep_idx >= 0
             safe = jnp.where(valid, keep_idx, 0)
-            return boxes[safe], jnp.where(valid, top_sc[safe], 0.0), valid
+            return (take_rows(boxes, safe),
+                    jnp.where(valid, take_rows(top_sc, safe), 0.0), valid)
 
         return jax.vmap(single)(reg1, cls2, reg2, img_shapes)

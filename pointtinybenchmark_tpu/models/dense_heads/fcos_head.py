@@ -23,6 +23,7 @@ from flax import linen as nn
 from ...core.bbox import distance2bbox
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 
 __all__ = ["FCOSHead"]
@@ -155,8 +156,9 @@ class FCOSHead(nn.Module):
             min_area = jnp.min(area_mat, -1)
             gt_idx = jnp.argmin(area_mat, -1)                       # (N,)
             pos = min_area < INF
-            labels = jnp.where(pos, gt_labels[gt_idx], self.num_classes)
-            tgt = jnp.take_along_axis(ltrb, gt_idx[:, None, None], 1)[:, 0]
+            labels = jnp.where(pos, take_rows(gt_labels, gt_idx),
+                               self.num_classes)
+            tgt = take_rows(ltrb, gt_idx[:, None])[:, 0]
             return labels, tgt, pos
 
         return jax.vmap(single)(batch["gt_bboxes"], batch["gt_labels"],

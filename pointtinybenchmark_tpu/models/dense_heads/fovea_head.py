@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 
 __all__ = ["FoveaHead"]
@@ -122,8 +123,9 @@ class FoveaHead(nn.Module):
             area_mat = jnp.where(cand, area[None, :], INF)
             gt_idx = jnp.argmin(area_mat, -1)
             pos = jnp.min(area_mat, -1) < INF
-            labels = jnp.where(pos, gt_labels[gt_idx], self.num_classes)
-            gb = gt_bboxes[gt_idx]                                  # (N, 4)
+            labels = jnp.where(pos, take_rows(gt_labels, gt_idx),
+                               self.num_classes)
+            gb = take_rows(gt_bboxes, gt_idx)                                  # (N, 4)
             d = jnp.stack([pts[:, 0] - gb[:, 0], pts[:, 1] - gb[:, 1],
                            gb[:, 2] - pts[:, 0], gb[:, 3] - pts[:, 1]], -1)
             tgt = jnp.log(jnp.clip(d / be[:, None], 1.0 / 16, 16.0))

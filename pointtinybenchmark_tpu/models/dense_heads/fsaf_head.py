@@ -26,6 +26,7 @@ from ...core.bbox import bbox2tblr, tblr2bbox
 from ...core.post_processing import DetResult, multiclass_nms
 from ...ops.iou import bbox_overlaps_aligned
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 
 __all__ = ["FSAFHead"]
@@ -179,8 +180,7 @@ class FSAFHead(nn.Module):
         dec = tblr2bbox(prior.reshape(-1, 4),
                         (reg_cat * st_b).reshape(-1, 4),
                         normalizer=4.0, normalize_by_wh=False)
-        gtb_sel = jnp.take_along_axis(batch["gt_bboxes"],
-                                      gt_idx[..., None], 1)
+        gtb_sel = take_rows(batch["gt_bboxes"], gt_idx)
         ious = bbox_overlaps_aligned(dec.reshape(pos.shape + (4,)), gtb_sel)
         loss_bbox = ((1.0 - ious) * pos_f).sum() / num_pos
         return {"loss_cls": loss_cls, "loss_bbox": loss_bbox,

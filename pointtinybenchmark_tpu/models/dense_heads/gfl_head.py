@@ -18,6 +18,7 @@ from flax import linen as nn
 from ...core.bbox import bbox2distance, distance2bbox
 from ...ops.iou import bbox_overlaps_aligned
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 from .anchor_head import AnchorHead
 from .atss_head import atss_assign
@@ -105,7 +106,8 @@ class GFLHead(AnchorHead):
             assigned = atss_assign(anchors, level_sizes, gtb, gv, topk)
             pos = assigned > 0
             safe = jnp.clip(assigned - 1, 0, gtb.shape[0] - 1)
-            return pos, gtb[safe], jnp.where(pos, gtl[safe], self.num_classes)
+            return pos, take_rows(gtb, safe), jnp.where(
+                pos, take_rows(gtl, safe), self.num_classes)
 
         pos, tgt_boxes, labels = jax.vmap(single)(
             batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"])

@@ -48,6 +48,7 @@ from ...core.post_processing import DetResult, multiclass_nms
 from ...ops.grid_sample import point_sample_pixel
 from ...ops.iou import bbox_overlaps
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 
 __all__ = ["FeatureAdaption", "GuidedAnchorHead", "GARetinaHead",
@@ -323,7 +324,7 @@ class GuidedAnchorHead(nn.Module):
                                         jnp.zeros((n,), jnp.int32))
                 pos, neg = res.pos_mask, res.neg_mask
             safe = jnp.clip(assigned - 1, 0, gt.shape[0] - 1)
-            return gt[safe], pos, neg
+            return take_rows(gt, safe), pos, neg
 
         keys = jax.random.split(rng_ga, b)
         bbox_gts, pos_m, neg_m = jax.vmap(shape_single)(

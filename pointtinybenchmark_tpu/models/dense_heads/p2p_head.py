@@ -32,6 +32,7 @@ from ...core.anchors import PointGenerator
 from ...core.assigners import HungarianAssignerV2
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 
 __all__ = ["P2PHead"]
@@ -187,9 +188,9 @@ class P2PHead(nn.Module):
 
         pos = assigned > 0
         safe = jnp.clip(assigned - 1, 0, gt_points.shape[1] - 1)
-        labels = jnp.where(pos, jnp.take_along_axis(gt_labels, safe, 1),
+        labels = jnp.where(pos, take_rows(gt_labels, safe),
                            self.num_classes)
-        target_pts = jnp.take_along_axis(gt_points, safe[..., None], 1)
+        target_pts = take_rows(gt_points, safe)
         pos_weight = float(self.train_cfg.get("pos_weight", 1.0))
         neg_weight = float(self.train_cfg.get("neg_weight", 1.0))
         label_weights = jnp.where(pos, pos_weight, neg_weight)

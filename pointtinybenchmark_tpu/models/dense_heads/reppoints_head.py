@@ -33,6 +33,7 @@ from flax import linen as nn
 from ...core.assigners import MaxIoUAssigner
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 
 __all__ = ["RepPointsHead", "point_assign"]
@@ -256,7 +257,7 @@ class RepPointsHead(nn.Module):
                                     strides, gtb, gv, scale, pos_num)
             pos = assigned > 0
             safe = jnp.clip(assigned - 1, 0, gtb.shape[0] - 1)
-            return gtb[safe], pos
+            return take_rows(gtb, safe), pos
 
         gt_init, pos_init = jax.vmap(init_single)(batch["gt_bboxes"],
                                                   batch["gt_valid"])
@@ -285,7 +286,7 @@ class RepPointsHead(nn.Module):
             safe = jnp.clip(assigned - 1, 0, gtb.shape[0] - 1)
             out_labels = jnp.where(pos, labels, self.num_classes)
             lw = pos.astype(jnp.float32) + neg.astype(jnp.float32)
-            return gtb[safe], pos, out_labels, lw
+            return take_rows(gtb, safe), pos, out_labels, lw
 
         gt_refine, pos_refine, labels, label_weights = jax.vmap(
             refine_single)(cand_boxes, batch["gt_bboxes"],

@@ -24,6 +24,7 @@ from ...core.bbox import bbox2bucket, bucket2bbox
 from ...core.post_processing import DetResult, multiclass_nms
 from ...ops.iou import bbox_overlaps
 from ...utils.registry import HEADS, LOSSES
+from ...ops.gather import take_rows
 from ..utils import ConvModule, bias_init_with_prob
 from .guided_anchor_head import GuidedAnchorHead
 
@@ -124,7 +125,7 @@ class SABLRetinaHead(GuidedAnchorHead):
             neg = assigned == 0
             safe = jnp.clip(assigned - 1, 0, gt.shape[0] - 1)
             offs, ow, bl, cw = bbox2bucket(
-                squares, gt[safe], self.num_buckets, self.bucket_scale,
+                squares, take_rows(gt, safe), self.num_buckets, self.bucket_scale,
                 offset_topk, offset_ub, cls_ign)
             posf = pos[:, None].astype(jnp.float32)
             out_labels = jnp.where(pos, labels, self.num_classes)

@@ -23,6 +23,7 @@ from flax import linen as nn
 from ...core.post_processing import DetResult, multiclass_nms
 from ...ops.iou import bbox_overlaps
 from ...utils.registry import HEADS, LOSSES, NECKS
+from ...ops.gather import take_rows
 from ..utils import bias_init_with_prob
 
 __all__ = ["DilatedEncoder", "YOLOFHead"]
@@ -195,8 +196,9 @@ class YOLOFHead(nn.Module):
             # and candidates that failed pos_ignore_thr are ignored too
             failed = jnp.any(cand, 1) & ~pos
             ignore = ignore | failed
-            labels = jnp.where(pos, gt_labels[gt_idx], self.num_classes)
-            return pred, gt_bboxes[gt_idx], labels, pos, ignore
+            labels = jnp.where(pos, take_rows(gt_labels, gt_idx),
+                               self.num_classes)
+            return pred, take_rows(gt_bboxes, gt_idx), labels, pos, ignore
 
         pred, gb, labels, pos, ignore = jax.vmap(single)(
             cls, reg, batch["gt_bboxes"], batch["gt_labels"],

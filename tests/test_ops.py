@@ -467,3 +467,46 @@ def test_roi_align_pallas_big_windows():
                                           True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------- take_rows
+def test_take_rows_matches_plain_indexing():
+    """One-hot MXU gather == table[idx] exactly (float coords, int labels,
+    bool masks), incl. batched and vmapped forms."""
+    import jax
+    from pointtinybenchmark_tpu.ops import take_rows
+
+    rng = np.random.RandomState(0)
+    g, n = 50, 4096
+    table_f = jnp.asarray(rng.rand(g, 4).astype(np.float32) * 640.0)
+    table_i = jnp.asarray(rng.randint(0, 80, size=(g,)), jnp.int32)
+    table_b = jnp.asarray(rng.rand(g) < 0.5)
+    idx = jnp.asarray(rng.randint(0, g, size=(n,)), jnp.int32)
+
+    np.testing.assert_array_equal(np.asarray(take_rows(table_f, idx)),
+                                  np.asarray(table_f[idx]))
+    np.testing.assert_array_equal(np.asarray(take_rows(table_i, idx)),
+                                  np.asarray(table_i[idx]))
+    np.testing.assert_array_equal(np.asarray(take_rows(table_b, idx)),
+                                  np.asarray(table_b[idx]))
+
+    # batched (B, G, K) with (B, N) idx
+    b = 3
+    bt = jnp.asarray(rng.rand(b, g, 4).astype(np.float32) * 1e3)
+    bi = jnp.asarray(rng.randint(0, g, size=(b, n)), jnp.int32)
+    ref = np.stack([np.asarray(bt[k])[np.asarray(bi[k])] for k in range(b)])
+    np.testing.assert_array_equal(np.asarray(take_rows(bt, bi)), ref)
+
+    # under vmap (the assigner/target-builder call pattern)
+    vm = jax.vmap(take_rows)(bt, bi)
+    np.testing.assert_array_equal(np.asarray(vm), ref)
+
+    # big-table fallback path (plain take_along_axis)
+    g2 = 2048
+    big_f = jnp.asarray(rng.rand(g2, 4).astype(np.float32))
+    big_v = jnp.asarray(rng.rand(g2).astype(np.float32))
+    idx2 = jnp.asarray(rng.randint(0, g2, size=(n,)), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(take_rows(big_f, idx2)),
+                                  np.asarray(big_f[idx2]))
+    np.testing.assert_array_equal(np.asarray(take_rows(big_v, idx2)),
+                                  np.asarray(big_v[idx2]))

@@ -113,6 +113,11 @@ def profile_config(config_path: str, batch: int, iters: int,
     fwd_ms, _ = timed(forward_only, params, img)
     loss_ms, _ = timed(loss_only, params, img, batch_d,
                        sync=lambda o: float(o))
+    # For two-stage detectors forward_only is NOT a subgraph of the train
+    # step: inference runs the RoI head on every RPN proposal while
+    # forward_train samples (e.g. 512 rois/img), so fwd can exceed
+    # fwd+loss and the phase split is meaningless — null it out.
+    phase_ok = loss_ms >= fwd_ms
 
     # full step: donation means params/opt_state are consumed — re-init and
     # loop statefully
@@ -144,8 +149,13 @@ def profile_config(config_path: str, batch: int, iters: int,
         img_per_s=round(batch / step_ms, 2),
         forward_ms=round(fwd_ms * 1e3, 2),
         forward_loss_ms=round(loss_ms * 1e3, 2),
-        loss_overhead_ms=round((loss_ms - fwd_ms) * 1e3, 2),
-        backward_update_ms=round((step_ms - loss_ms) * 1e3, 2),
+        loss_overhead_ms=round((loss_ms - fwd_ms) * 1e3, 2)
+        if phase_ok else None,
+        backward_update_ms=round((step_ms - loss_ms) * 1e3, 2)
+        if phase_ok else None,
+        phase_split="ok" if phase_ok else
+        "n/a: inference forward runs the RoI head on all proposals; "
+        "the train step samples rois, so phases aren't subgraphs",
         step_tflops=round(flops / 1e12, 2),
         mfu_pct=round(100.0 * flops / (step_ms * peak), 1) if flops else None,
     )
