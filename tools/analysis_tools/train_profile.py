@@ -113,10 +113,11 @@ def profile_config(config_path: str, batch: int, iters: int,
     fwd_ms, _ = timed(forward_only, params, img)
     loss_ms, _ = timed(loss_only, params, img, batch_d,
                        sync=lambda o: float(o))
-    # For two-stage detectors forward_only is NOT a subgraph of the train
-    # step: inference runs the RoI head on every RPN proposal while
-    # forward_train samples (e.g. 512 rois/img), so fwd can exceed
-    # fwd+loss and the phase split is meaningless — null it out.
+    # forward_only is the INFERENCE forward, which is not always a subgraph
+    # of the train step: two-stage models run the RoI head on every RPN
+    # proposal (train samples 512 rois/img), single-stage models decode+NMS
+    # in inference but not in training — so fwd can exceed fwd+loss and the
+    # phase split is meaningless. Null it out rather than print negatives.
     phase_ok = loss_ms >= fwd_ms
 
     # full step: donation means params/opt_state are consumed — re-init and
@@ -154,8 +155,8 @@ def profile_config(config_path: str, batch: int, iters: int,
         backward_update_ms=round((step_ms - loss_ms) * 1e3, 2)
         if phase_ok else None,
         phase_split="ok" if phase_ok else
-        "n/a: inference forward runs the RoI head on all proposals; "
-        "the train step samples rois, so phases aren't subgraphs",
+        "n/a: the inference forward is not a subgraph of the train step "
+        "(two-stage: RoI head on all proposals; single-stage: decode+NMS)",
         step_tflops=round(flops / 1e12, 2),
         mfu_pct=round(100.0 * flops / (step_ms * peak), 1) if flops else None,
     )
