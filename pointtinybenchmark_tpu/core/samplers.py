@@ -21,7 +21,29 @@ from ..utils.registry import BBOX_SAMPLERS
 
 __all__ = ["SamplingResult", "RandomSampler", "PseudoSampler",
            "OHEMSampler", "IoUBalancedNegSampler", "ScoreHLRSampler",
-           "random_topk_mask"]
+           "random_topk_mask", "topk_mask"]
+
+
+def topk_mask(priority: jnp.ndarray, k) -> jnp.ndarray:
+    """Mask of the `k` largest entries of `priority` (k may be traced).
+
+    Equivalent to ``rank = zeros.at[argsort(-p)].set(iota); rank < k`` but
+    computed with ONE sort plus a threshold instead of the
+    inverse-permutation scatter — a serialized s32 scatter over the full
+    anchor field costs ~5x a sort on TPU (round-4 train trace: 3.8 ms
+    `fusion.46` vs 0.8 ms sorts at (8, 81840)). Ties are broken by
+    ascending index, matching a stable descending argsort.
+    """
+    n = priority.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    neg = -priority.astype(jnp.float32)
+    sp, si = jax.lax.sort((neg, iota), num_keys=2)
+    kc = jnp.clip(jnp.asarray(k, jnp.int32), 0, n)
+    j = jnp.maximum(kc - 1, 0)
+    thr_p = sp[j]
+    thr_i = si[j]
+    sel = (neg < thr_p) | ((neg == thr_p) & (iota <= thr_i))
+    return sel & (kc > 0)
 
 
 class SamplingResult(NamedTuple):
@@ -41,13 +63,7 @@ def random_topk_mask(key: jax.Array, candidate_mask: jnp.ndarray,
     n = candidate_mask.shape[0]
     priority = jax.random.uniform(key, (n,))
     priority = jnp.where(candidate_mask, priority, -1.0)
-    # threshold = budget-th largest priority
-    topk_vals, _ = jax.lax.top_k(priority, min(budget, n))
-    thresh = topk_vals[-1]
-    chosen = candidate_mask & (priority >= jnp.maximum(thresh, 0.0))
-    # guard against ties creating >budget picks: ties on float32 uniform are
-    # measure-zero; accept the approximation.
-    return chosen
+    return candidate_mask & topk_mask(priority, min(budget, n))
 
 
 @BBOX_SAMPLERS.register_module()
@@ -79,9 +95,7 @@ class RandomSampler:
         n = assigned_gt_inds.shape[0]
         priority = jax.random.uniform(kn, (n,))
         priority = jnp.where(neg_cand, priority, -1.0)
-        order = jnp.argsort(-priority)
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-        neg_mask = neg_cand & (rank < neg_allow)
+        neg_mask = neg_cand & topk_mask(priority, neg_allow)
         return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
 
 
@@ -126,13 +140,9 @@ class OHEMSampler:
 
         def topk_by_loss(cand, budget):
             pr = jnp.where(cand, loss, -jnp.inf)
-            order = jnp.argsort(-pr)
-            rank = jnp.zeros((n,), jnp.int32).at[order].set(
-                jnp.arange(n, dtype=jnp.int32))
-            return cand, rank
+            return cand & topk_mask(pr, budget)
 
-        pos_cand, pos_rank = topk_by_loss(pos_cand, num_pos_budget)
-        pos_mask = pos_cand & (pos_rank < num_pos_budget)
+        pos_mask = topk_by_loss(pos_cand, num_pos_budget)
         num_pos = jnp.sum(pos_mask.astype(jnp.int32))
         num_neg_budget = self.num - num_pos_budget
         if self.neg_pos_ub >= 0:
@@ -140,8 +150,7 @@ class OHEMSampler:
                                     self.neg_pos_ub * jnp.maximum(num_pos, 1))
         else:
             neg_allow = jnp.asarray(num_neg_budget)
-        neg_cand, neg_rank = topk_by_loss(neg_cand, num_neg_budget)
-        neg_mask = neg_cand & (neg_rank < neg_allow)
+        neg_mask = topk_by_loss(neg_cand, neg_allow)
         return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
 
 
@@ -401,18 +410,12 @@ class InstanceBalancedPosSampler(RandomSampler):
         pr = jnp.where(pos_cand,
                        -inst_rank.astype(jnp.float32)
                        + jax.random.uniform(kp, (n,)) * 0.5, -jnp.inf)
-        prio_order = jnp.argsort(-pr)
-        rank = jnp.zeros((n,), jnp.int32).at[prio_order].set(
-            jnp.arange(n, dtype=jnp.int32))
-        pos_mask = pos_cand & (rank < num_pos_budget)
+        pos_mask = pos_cand & topk_mask(pr, num_pos_budget)
         num_pos = jnp.sum(pos_mask.astype(jnp.int32))
         num_neg_budget = self.num - num_pos_budget
         neg_cand = assigned_gt_inds == 0
         pr_n = jnp.where(neg_cand, jax.random.uniform(kn, (n,)), -1.0)
-        order_n = jnp.argsort(-pr_n)
-        rank_n = jnp.zeros((n,), jnp.int32).at[order_n].set(
-            jnp.arange(n, dtype=jnp.int32))
-        neg_mask = neg_cand & (rank_n < num_neg_budget)
+        neg_mask = neg_cand & topk_mask(pr_n, num_neg_budget)
         return SamplingResult(pos_mask, neg_mask, assigned_gt_inds, labels)
 
 

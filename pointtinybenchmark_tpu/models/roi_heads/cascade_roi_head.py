@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...core.bbox import delta_coder_fns
+from ...core.samplers import topk_mask
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS
 from ..builder import build_head
@@ -169,10 +170,7 @@ class CascadeRoIHead(nn.Module):
             n_pos = pos_sel.sum()
             neg_budget = num_sample - jnp.minimum(n_pos, pos_budget)
             pr_neg = jnp.where(neg_cand, jax.random.uniform(kn, (p,)), -1.0)
-            order = jnp.argsort(-pr_neg)
-            rank = jnp.zeros((p,), jnp.int32).at[order].set(
-                jnp.arange(p, dtype=jnp.int32))
-            neg_sel = neg_cand & (rank < neg_budget)
+            neg_sel = neg_cand & topk_mask(pr_neg, neg_budget)
             key_score = (pos_sel.astype(jnp.float32) * 2.0
                          + neg_sel.astype(jnp.float32)
                          + jax.random.uniform(jax.random.fold_in(key, 7),

@@ -34,6 +34,7 @@ from ...utils.registry import HEADS
 from .cascade_roi_head import CascadeRoIHead
 from .mask_head import mask_target
 from .roi_extractor import single_roi_extract
+from ...core.samplers import topk_mask
 
 __all__ = ["HTCMaskHead", "FusedSemanticHead", "HybridTaskCascadeRoIHead"]
 
@@ -255,10 +256,7 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
             n_pos = pos_sel.sum()
             neg_budget = num_sample - jnp.minimum(n_pos, pos_budget)
             pr_neg = jnp.where(neg_cand, jax.random.uniform(kn, (p,)), -1.0)
-            order = jnp.argsort(-pr_neg)
-            rank = jnp.zeros((p,), jnp.int32).at[order].set(
-                jnp.arange(p, dtype=jnp.int32))
-            neg_sel = neg_cand & (rank < neg_budget)
+            neg_sel = neg_cand & topk_mask(pr_neg, neg_budget)
             key_score = (pos_sel.astype(jnp.float32) * 2.0
                          + neg_sel.astype(jnp.float32)
                          + jax.random.uniform(jax.random.fold_in(key, 7),

@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ...core.assigners import MaxIoUAssigner
 from ...core.bbox import delta_coder_fns
+from ...core.samplers import topk_mask
 from ...core.post_processing import DetResult, multiclass_nms
 from ...utils.registry import HEADS, LOSSES
 from ..builder import build_head
@@ -154,10 +155,7 @@ class StandardRoIHead(nn.Module):
             n_pos = pos_sel.sum()
             neg_budget = num_sample - jnp.minimum(n_pos, pos_budget)
             pr_neg = jnp.where(neg_cand, jax.random.uniform(kn, (p,)), -1.0)
-            order = jnp.argsort(-pr_neg)
-            rank = jnp.zeros((p,), jnp.int32).at[order].set(
-                jnp.arange(p, dtype=jnp.int32))
-            neg_sel = neg_cand & (rank < neg_budget)
+            neg_sel = neg_cand & topk_mask(pr_neg, neg_budget)
             sampled = pos_sel | neg_sel
             # fixed-size gather of the sampled rois
             key_score = (pos_sel.astype(jnp.float32) * 2.0
