@@ -254,17 +254,25 @@ def bench_mask(n_images: int = 1, n_iters: int = 6):
     float(dets.bboxes[0, 0, 0])
     full_ips = n_images * n_iters / (time.perf_counter() - t0)
 
-    # host paste cost for one image's merged dets (100 boxes, full 1080p)
+    # Host paste cost: 100 dets, full 1080p, FIXED synthetic box sizes
+    # (10-20 px, the TinyPerson regime) so the number is deterministic and
+    # environment-comparable across rounds (VERDICT r4 item 3).
     from pointtinybenchmark_tpu.evaluation.mask_utils import paste_masks
     n_dets = 100
-    crops_np = np.asarray(crops, np.float32)[0]          # (m, 28, 28)
-    reps = int(np.ceil(n_dets / crops_np.shape[0]))
-    crops_np = np.tile(crops_np, (reps, 1, 1))[:n_dets]
-    boxes_np = np.asarray(dets.bboxes, np.float32)[0, :, :4]
-    boxes_np = np.tile(boxes_np, (reps, 1))[:n_dets]
+    rng = np.random.RandomState(1)
+    crops_np = rng.rand(n_dets, 28, 28).astype(np.float32)
+    cx = rng.uniform(0, IMG_W, n_dets)
+    cy = rng.uniform(0, IMG_H, n_dets)
+    bw = rng.uniform(10, 20, n_dets)
+    bh = rng.uniform(10, 20, n_dets)
+    boxes_np = np.stack([cx - bw / 2, cy - bh / 2,
+                         cx + bw / 2, cy + bh / 2], 1).astype(np.float32)
+    paste_masks(crops_np, boxes_np, IMG_H, IMG_W)  # warm numpy caches
     t0 = time.perf_counter()
-    paste_masks(crops_np, boxes_np, IMG_H, IMG_W)
-    paste_ms = (time.perf_counter() - t0) * 1e3
+    n_rep = 5
+    for _ in range(n_rep):
+        paste_masks(crops_np, boxes_np, IMG_H, IMG_W)
+    paste_ms = (time.perf_counter() - t0) * 1e3 / n_rep
     return full_ips, paste_ms
 
 

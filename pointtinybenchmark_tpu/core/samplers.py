@@ -33,10 +33,14 @@ def topk_mask(priority: jnp.ndarray, k) -> jnp.ndarray:
     anchor field costs ~5x a sort on TPU (round-4 train trace: 3.8 ms
     `fusion.46` vs 0.8 ms sorts at (8, 81840)). Ties are broken by
     ascending index, matching a stable descending argsort.
+
+    NaN priorities are sanitized to -inf (i.e. never selected); without
+    this, NaN sorts last under XLA total order AND fails both threshold
+    compares, which would silently shrink the selection below k.
     """
     n = priority.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    neg = -priority.astype(jnp.float32)
+    neg = -jnp.nan_to_num(priority.astype(jnp.float32), nan=-jnp.inf)
     sp, si = jax.lax.sort((neg, iota), num_keys=2)
     kc = jnp.clip(jnp.asarray(k, jnp.int32), 0, n)
     j = jnp.maximum(kc - 1, 0)

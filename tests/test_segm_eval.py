@@ -73,6 +73,65 @@ def test_paste_masks():
     assert 80 <= area <= 140  # ~10x10 box
 
 
+def _paste_masks_loop(crops, boxes, h, w, threshold=0.5):
+    """Per-mask loop oracle (the pre-round-5 implementation verbatim)."""
+    M, s, _ = crops.shape
+    out = np.zeros((M, h, w), np.uint8)
+    for i in range(M):
+        x1, y1, x2, y2 = boxes[i][:4]
+        bx1 = max(int(np.floor(x1)), 0)
+        by1 = max(int(np.floor(y1)), 0)
+        bx2 = min(int(np.ceil(x2)) + 1, w)
+        by2 = min(int(np.ceil(y2)) + 1, h)
+        if bx2 <= bx1 or by2 <= by1 or x2 <= x1 or y2 <= y1:
+            continue
+        ys = (np.arange(by1, by2) + 0.5 - y1) / (y2 - y1) * s - 0.5
+        xs = (np.arange(bx1, bx2) + 0.5 - x1) / (x2 - x1) * s - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, s - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, s - 1)
+        y1i = np.clip(y0 + 1, 0, s - 1)
+        x1i = np.clip(x0 + 1, 0, s - 1)
+        wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+        wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+        c = crops[i]
+        patch = (c[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+                 + c[np.ix_(y0, x1i)] * (1 - wy) * wx
+                 + c[np.ix_(y1i, x0)] * wy * (1 - wx)
+                 + c[np.ix_(y1i, x1i)] * wy * wx)
+        out[i, by1:by2, bx1:bx2] = patch >= threshold
+    return out
+
+
+def test_paste_masks_batched_matches_loop_oracle():
+    """Vectorized paste == the per-mask loop, incl. degenerate/offscreen/
+    frame-sized boxes (exercises the chunked pad-to-max path)."""
+    from pointtinybenchmark_tpu.evaluation.mask_utils import paste_masks
+    rng = np.random.RandomState(7)
+    h, w, s = 108, 192, 28
+    M = 60
+    crops = rng.rand(M, s, s).astype(np.float32)
+    cx = rng.uniform(-10, w + 10, M)
+    cy = rng.uniform(-10, h + 10, M)
+    bw = rng.uniform(0, 40, M)
+    bh = rng.uniform(0, 40, M)
+    boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
+    boxes[0] = [5.0, 5.0, 5.0, 9.0]            # zero-width (degenerate)
+    boxes[1] = [-50.0, -50.0, -10.0, -10.0]    # fully offscreen
+    boxes[2] = [-5.0, -5.0, w + 5.0, h + 5.0]  # frame-sized
+    boxes[3] = [10.2, 3.7, 10.9, 4.1]          # sub-pixel box
+    got = paste_masks(crops, boxes, h, w)
+    want = _paste_masks_loop(crops, boxes, h, w)
+    np.testing.assert_array_equal(got, want)
+    # tiny chunk budget forces the multi-chunk path; result must be unchanged
+    import pointtinybenchmark_tpu.evaluation.mask_utils as mu
+    old = mu._PASTE_CHUNK_BUDGET
+    try:
+        mu._PASTE_CHUNK_BUDGET = 2048
+        np.testing.assert_array_equal(paste_masks(crops, boxes, h, w), want)
+    finally:
+        mu._PASTE_CHUNK_BUDGET = old
+
+
 # ------------------------------------------------------- dataset-level oracle
 @pytest.fixture(scope="module")
 def segm_dataset(tmp_path_factory):
