@@ -19,7 +19,8 @@ from ..data.transforms import Compose
 from ..models import build_detector
 from ..utils.config import Config
 
-__all__ = ["init_detector", "inference_detector", "show_result"]
+__all__ = ["init_detector", "inference_detector",
+           "inference_detector_tiled", "show_result"]
 
 
 class DetectorHandle:
@@ -108,6 +109,55 @@ def inference_detector(handle: DetectorHandle,
         keep = np.asarray(dets.valid[0])
         results.append(dict(bboxes=np.asarray(dets.bboxes[0])[keep],
                             labels=np.asarray(dets.labels[0])[keep]))
+    return results[0] if single else results
+
+
+def inference_detector_tiled(handle: DetectorHandle,
+                             imgs: Union[np.ndarray, str, List],
+                             tile_hw=None, tile_overlap=None) -> List[dict]:
+    """Tiled protocol inference with ON-DEVICE preprocessing: the host only
+    decodes; normalize + tile grid + forward + global cross-tile NMS run in
+    one jitted graph (engine/test.py DeviceTiledInference). Tile shape /
+    overlap / normalization default to the handle config's test pipeline
+    (CroppedTilesFlipAug + Normalize). Returns per-image dicts like
+    `inference_detector`, boxes in the full-frame coordinate system."""
+    from ..engine.test import DeviceTiledInference
+
+    single = not isinstance(imgs, (list, tuple))
+    if single:
+        imgs = [imgs]
+
+    # pull tile + norm settings from the test pipeline config
+    norm = None
+    for t in handle.cfg.data["test"]["pipeline"]:
+        if t["type"] == "CroppedTilesFlipAug":
+            if tile_hw is None:
+                tw, th = t["tile_shape"]                 # reference (w, h)
+                tile_hw = (int(th), int(tw))
+            if tile_overlap is None:
+                tile_overlap = tuple(t.get("tile_overlap", (100, 100)))
+            for s in t["transforms"]:
+                if s["type"] == "Normalize":
+                    norm = dict(mean=s["mean"], std=s["std"])
+    if tile_hw is None:
+        tile_hw = (512, 640)
+    if tile_overlap is None:
+        tile_overlap = (100, 100)
+
+    engines = getattr(handle, "_tiled_engines", None)
+    if engines is None:
+        engines = handle._tiled_engines = {}
+    results = []
+    for img in imgs:
+        if isinstance(img, str):
+            from PIL import Image
+            img = np.asarray(Image.open(img).convert("RGB"))
+        hw = img.shape[:2]
+        if hw not in engines:                            # one jit per shape
+            engines[hw] = DeviceTiledInference(
+                handle.model, handle.variables, hw, tile_hw, tile_overlap,
+                img_norm=norm)
+        results.extend(engines[hw](img))
     return results[0] if single else results
 
 

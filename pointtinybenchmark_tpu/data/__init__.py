@@ -10,6 +10,7 @@ from .transforms import (Collect, Compose, DefaultFormatBundle,
                          LoadAnnotations, LoadImageFromFile, Normalize, Pad,
                          RandomCrop, RandomFlip, Resize)
 from .tiling import CroppedTilesFlipAug, generate_corner_dataset, tile_grid
+from .device_pipeline import DevicePreprocessor
 from .noise import generate_pseudo_bbox_for_point
 from .voc import VOCDataset, WIDERFaceDataset
 
@@ -32,6 +33,7 @@ __all__ = [
     "DataLoader", "DetCollator", "EpochSampler", "GroupSampler",
     "prefetch_to_device",
     "CroppedTilesFlipAug", "generate_corner_dataset", "tile_grid",
+    "DevicePreprocessor",
     "generate_pseudo_bbox_for_point", "ConcatDataset", "RepeatDataset",
     "ClassBalancedDataset", "VOCDataset", "LVISDataset",
     "CityscapesDataset", "WIDERFaceDataset", "DeepFashionDataset",

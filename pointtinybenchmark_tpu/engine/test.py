@@ -22,7 +22,8 @@ from ..ops.nms import batched_nms_large
 from ..utils.logging import get_root_logger
 
 __all__ = ["run_test", "run_tiled_test", "run_tta_test",
-           "run_refine_test", "merge_tile_dets"]
+           "run_refine_test", "merge_tile_dets", "DeviceTiledInference",
+           "run_device_tiled_test"]
 
 
 def _to_result(bboxes: np.ndarray, labels: np.ndarray, valid: np.ndarray,
@@ -221,6 +222,120 @@ def merge_tile_dets(all_boxes: np.ndarray, all_scores: np.ndarray,
     sel = keep_idx[keep_idx >= 0]
     return (np.asarray(boxes)[sel], np.asarray(scores)[sel],
             np.asarray(labels)[sel])
+
+
+class DeviceTiledInference:
+    """Whole-protocol inference in ONE jitted graph: uint8 frames in,
+    globally-merged detections out.
+
+    The north-star configuration (BASELINE "preprocessing runs as a
+    jit-compiled per-device pipeline"): the host keeps only JPEG decode;
+    normalize + static tile grid + batched forward + tile-offset shift +
+    global class-aware NMS all run on device, fused by XLA. uint8 frames
+    also cut host->device transfer 4x vs shipping f32 tiles.
+
+    Matches `run_tiled_test` semantics exactly (same tile grid as
+    CroppedTilesFlipAug / reference rtest_time_aug.py:43-61, same global
+    merge as fork two_stage.py:244-253); tests/test_device_pipeline.py
+    asserts identical detections to the host-pipeline loop.
+
+    Args:
+        model / variables: a built detector + its variables.
+        frame_hw: static decoded frame (H, W).
+        tile_hw: (tile_h, tile_w) protocol tile.
+        tile_overlap: (overlap_w, overlap_h).
+        img_norm: dict(mean=..., std=...) — host Normalize parity.
+        n_images: frames per device batch (static).
+    """
+
+    def __init__(self, model, variables, frame_hw, tile_hw,
+                 tile_overlap=(100, 100),
+                 img_norm=None,
+                 merge_iou_threshold: float = 0.5, max_per_img: int = 1000,
+                 n_images: int = 1):
+        from ..data.device_pipeline import DevicePreprocessor
+        norm = img_norm or {}
+        self.pre = DevicePreprocessor(
+            frame_hw,
+            mean=norm.get("mean", (123.675, 116.28, 103.53)),
+            std=norm.get("std", (58.395, 57.12, 57.375)),
+            tile_hw=tile_hw, tile_overlap=tile_overlap)
+        self.n_images = int(n_images)
+        v = self.pre.n_views
+        th, tw = tile_hw
+        offs = self.pre.tile_offsets                       # (V, 2)
+        shift = np.concatenate([offs, offs], 1)            # (V, 4)
+        shift_b = jnp.asarray(np.tile(shift, (self.n_images, 1))[:, None, :])
+        img_shape = jnp.tile(jnp.asarray([[th, tw]], jnp.int32),
+                             (self.n_images * v, 1))
+
+        def _infer(frames_u8):
+            tiles = self.pre.apply(frames_u8)
+            out = model.apply(variables, tiles, img_shape, None, False,
+                              method=model.simple_test)
+            dets = out
+            while not hasattr(dets, "bboxes"):
+                dets = dets[0]
+            boxes = dets.bboxes[..., :4] + shift_b         # global frame
+            m = boxes.shape[1]
+            bi = boxes.reshape(self.n_images, v * m, 4)
+            si = dets.bboxes[..., 4].reshape(self.n_images, v * m)
+            li = dets.labels.reshape(self.n_images, v * m)
+            vi = dets.valid.reshape(self.n_images, v * m)
+            # unrolled per-image global merge (ops/nms.py routing note:
+            # nms_blocked transients multiply under vmap)
+            outs = [batched_nms_large(bi[i], si[i], li[i],
+                                      merge_iou_threshold, max_per_img,
+                                      valid_mask=vi[i])
+                    for i in range(self.n_images)]
+            keep = jnp.stack([o[0] for o in outs])         # (N, max_per_img)
+            return bi, si, li, keep
+
+        self._infer = jax.jit(_infer)
+
+    def __call__(self, frames) -> List[dict]:
+        """frames: (n_images, H, W, 3) uint8 (or a single (H, W, 3) frame).
+        Returns per-image dicts: bboxes (n, 5) in the global frame, labels."""
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        bi, si, li, keep = self._infer(frames)
+        bi, si, li, keep = (np.asarray(bi), np.asarray(si), np.asarray(li),
+                            np.asarray(keep))
+        results = []
+        for i in range(frames.shape[0]):
+            sel = keep[i][keep[i] >= 0]
+            results.append(dict(
+                bboxes=np.concatenate([bi[i][sel], si[i][sel][:, None]], 1),
+                labels=li[i][sel]))
+        return results
+
+
+def run_device_tiled_test(model, state, frames, frame_hw, tile_hw,
+                          tile_overlap=(100, 100), img_norm=None,
+                          merge_iou_threshold: float = 0.5,
+                          max_per_img: int = 1000) -> List[dict]:
+    """Tiled eval with the on-device preprocessing path: `frames` is an
+    iterable of decoded uint8 frames (or file paths); everything after
+    decode runs inside one jitted graph. Companion to `run_tiled_test`
+    (which keeps the general host pipeline for scale/flip TTA variants)."""
+    logger = get_root_logger()
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    eng = DeviceTiledInference(model, variables, frame_hw, tile_hw,
+                               tile_overlap, img_norm,
+                               merge_iou_threshold, max_per_img)
+    results: List[dict] = []
+    for idx, frame in enumerate(frames):
+        if isinstance(frame, str):
+            from PIL import Image
+            frame = np.asarray(Image.open(frame).convert("RGB"))
+        results.extend(eng(frame))
+        if idx % 20 == 0:
+            logger.info("device tiled test %d (%d tiles)", idx + 1,
+                        eng.pre.n_views)
+    return results
 
 
 def run_tiled_test(model, state, dataset, collator,
