@@ -284,6 +284,50 @@ def bench_mask(n_images: int = 1, n_iters: int = 6):
     return full_ips, paste_ms
 
 
+def bench_cpr_refine(batch: int = 8, n_gt: int = 50, n_iters: int = 10):
+    """CPR annotation-refinement protocol (VERDICT r4 item 5): the flagship
+    refine inference of SURVEY §3.2 — bag re-extraction + scoring +
+    PointRefiner — at the TinyPersonV2 shape (640x640 corner tiles, coarse
+    points as 16x16 pseudo boxes, reference cpr_head.py:1231-1283 hot
+    path). Whole refine_test (feature forward + bags + refine) is ONE
+    jitted graph; returns img/s/chip."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    model = build_from_config(
+        "configs/tinypersonv2/cpr/"
+        "coarse_point_refine_r50_fpns4_1x_tinypersonv2_640.py")
+    h = w = 640
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(batch, h, w, 3), jnp.float32)
+    # coarse points scattered over the tile, stored as 16x16 pseudo boxes
+    # (the pseuw16h16 annotation convention of the TinyPersonV2 configs)
+    cxy = rng.rand(batch, n_gt, 2) * [w - 16, h - 16] + 8
+    gt = np.concatenate([cxy - 8, cxy + 8], -1).astype(np.float32)
+    batch_d = dict(
+        gt_bboxes=jnp.asarray(gt),
+        gt_labels=jnp.zeros((batch, n_gt), jnp.int32),
+        gt_valid=jnp.asarray(rng.rand(batch, n_gt) < 0.8),
+        img_shape=jnp.tile(jnp.asarray([[h, w]], jnp.int32), (batch, 1)))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), img[:1])
+
+    @jax.jit
+    def refine(img, batch_d):
+        return model.apply(variables, img, batch_d, (16, 16),
+                           method=model.refine_test)
+
+    pts, scores, boxes, not_refine = refine(img, batch_d)
+    float(pts[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        pts, scores, boxes, not_refine = refine(img, batch_d)
+    float(pts[0, 0, 0])
+    return batch * n_iters / (time.perf_counter() - t0)
+
+
 def bench_p2p(n_iters: int = 20):
     import jax
     import jax.numpy as jnp
@@ -408,6 +452,12 @@ def main():
         extra["p2p_flagship_640x512"] = {"img_per_s": round(bench_p2p(), 2)}
 
     _try(extra, "p2p_flagship_640x512", run_p2p)
+
+    def run_cpr():
+        extra["cpr_refine_640x640"] = {
+            "img_per_s": round(bench_cpr_refine(), 2)}
+
+    _try(extra, "cpr_refine_640x640", run_cpr)
 
     print(json.dumps({
         "metric": "tinyperson_protocol_adap_retinanet_c_tiled_1920x1080",
