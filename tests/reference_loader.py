@@ -767,6 +767,19 @@ def _point_head_extras():
 
 
 @lru_cache(maxsize=None)
+def ref_fpn():
+    """Reference FPN whole (models/necks/fpn.py — laterals, top-down
+    nearest upsample, fpn convs, extra convs on_input/on_output) for the
+    cross-framework training-parity experiment."""
+    mod = load_ref("models/necks/fpn.py",
+                   dict(ConvModule=_torch_conv_module(),
+                        BaseModule=_torch_base_module(),
+                        auto_fp16=_noop_decorator,
+                        NECKS=_Registry()))
+    return types.SimpleNamespace(FPN=mod.FPN)
+
+
+@lru_cache(maxsize=None)
 def ref_p2p_head():
     """Reference P2PHead whole (point/dense_heads/p2p_head.py:19-572)."""
     mod = load_ref("models/point/dense_heads/p2p_head.py",

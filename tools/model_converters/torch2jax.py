@@ -131,6 +131,12 @@ def convert_detector_state_dict(sd, depth: int):
         params["backbone_m"] = p_bb
         stats["backbone_m"] = s_bb
 
+    # mmdet keeps extra-level convs (add_extra_convs) in the same
+    # `fpn_convs` ModuleList after the per-lateral output convs; our FPN
+    # names them extra_conv{j}. Lateral count tells where the split is.
+    n_lateral = len({int(k.split(".")[2]) for k in sd
+                     if k.startswith("neck.lateral_convs.")})
+
     for k, v in sd.items():
         if k.startswith("backbone."):
             continue
@@ -138,8 +144,12 @@ def convert_detector_state_dict(sd, depth: int):
         if k.startswith("neck.lateral_convs.") or \
                 k.startswith("neck.fpn_convs."):
             i, leaf = int(parts[2]), parts[-1]
-            name = ("lateral_conv" if "lateral" in parts[1]
-                    else "fpn_conv") + str(i)
+            if "lateral" in parts[1]:
+                name = "lateral_conv" + str(i)
+            elif i >= n_lateral > 0:
+                name = "extra_conv" + str(i - n_lateral)
+            else:
+                name = "fpn_conv" + str(i)
             if leaf == "weight":
                 _put(params, ["neck_m", name, "kernel"], _conv_w(v))
             else:
