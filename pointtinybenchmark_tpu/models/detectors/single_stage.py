@@ -132,6 +132,27 @@ class BasicLocator(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class P2BNet(BasicLocator):
+    """Point-to-box MIL detector shell (paper-spec, arXiv 2207.06827 —
+    the P2BNet branch is not in this checkout). Same annotation-refinement
+    workflow as CPR: `refine_test` emits pseudo boxes joinable back to the
+    annotations by tools/result2ann.py, which then train a Faster R-CNN."""
+
+    def refine_test(self, img: jnp.ndarray, batch: Dict[str, Any],
+                    pseudo_wh=(16, 16)):
+        # pseudo_wh is part of the shared refine_test contract
+        # (engine/test.py::run_refine_test); P2B predicts REAL box extents,
+        # so the fixed pseudo size is unused.
+        del pseudo_wh
+        outputs = self(img, batch, train=False, mode="refine")
+        boxes = outputs["pseudo_boxes"]
+        scores = outputs["pseudo_scores"]
+        centers = (boxes[..., :2] + boxes[..., 2:]) / 2
+        not_refine = ~batch["gt_valid"]
+        return centers, scores, boxes, not_refine
+
+
+@DETECTORS.register_module()
 class RepPointsDetector(SingleStageDetector):
     """RepPoints single-stage shell (mmdet models/detectors/reppoints_detector.py)."""
     pass

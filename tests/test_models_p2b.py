@@ -1,0 +1,238 @@
+"""P2BNet point-to-box MIL head (paper-spec, arXiv 2207.06827 — the
+reference branch is not in this checkout; VERDICT r4 item 8).
+
+Covers: bag geometry (CBP anchor-like proposals, PBR jitter grid, top-k
+score-weighted merge), loss composition + static shapes, padded-gt
+invariance, the refine_test pseudo-box contract shared with CPR
+(engine/test.py::run_refine_test), and end-to-end learnability: after MIL
+training on point-annotated bright squares the pseudo boxes must localize
+the objects (IoU with the true boxes far above the initial bag prior).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointtinybenchmark_tpu.engine.train import init_model, make_train_step
+from pointtinybenchmark_tpu.models import build_detector
+from pointtinybenchmark_tpu.models.dense_heads.p2b_head import (
+    cbp_proposals, merge_boxes, pbr_proposals)
+
+
+def test_cbp_proposal_geometry():
+    pts = jnp.asarray([[10.0, 20.0]])
+    out = np.asarray(cbp_proposals(pts, scales=[8, 16], ratios=[0.5, 1.0]))
+    assert out.shape == (1, 4, 4)
+    ctr = (out[..., :2] + out[..., 2:]) / 2
+    np.testing.assert_allclose(ctr, np.tile([[10.0, 20.0]], (1, 4, 1)),
+                               atol=1e-5)
+    w = out[..., 2] - out[..., 0]
+    h = out[..., 3] - out[..., 1]
+    # w = s*sqrt(r), h = s/sqrt(r): ratio r=0.5 gives tall boxes
+    np.testing.assert_allclose(w[0], [8 * np.sqrt(0.5), 8, 16 * np.sqrt(0.5), 16],
+                               rtol=1e-5)
+    np.testing.assert_allclose((w * h)[0], [64, 64, 256, 256], rtol=1e-5)
+
+
+def test_pbr_jitter_geometry():
+    box = jnp.asarray([[0.0, 0.0, 10.0, 20.0]])
+    out = np.asarray(pbr_proposals(box, scale_jitter=[0.5, 1.0],
+                                   offset_frac=[0.0]))
+    assert out.shape == (1, 2, 4)
+    w = out[..., 2] - out[..., 0]
+    np.testing.assert_allclose(w[0], [5.0, 10.0], rtol=1e-5)
+    ctr = (out[..., :2] + out[..., 2:]) / 2
+    np.testing.assert_allclose(ctr[0], [[5, 10], [5, 10]], atol=1e-5)
+    # offsets move the center by frac * wh
+    out2 = np.asarray(pbr_proposals(box, scale_jitter=[1.0],
+                                    offset_frac=[-1.0, 1.0]))
+    ctr2 = (out2[..., :2] + out2[..., 2:]) / 2
+    got = {tuple(c) for c in ctr2[0].round(5)}
+    assert got == {(-5.0, -10.0), (-5.0, 30.0), (15.0, -10.0), (15.0, 30.0)}
+
+
+def test_merge_boxes_weighted_topk():
+    boxes = jnp.asarray([[[0, 0, 2, 2], [10, 10, 12, 12],
+                          [4, 4, 6, 6]]], jnp.float32)
+    scores = jnp.asarray([[1.0, 3.0, 0.0]])
+    merged, top = merge_boxes(boxes, scores, topk=2)
+    np.testing.assert_allclose(np.asarray(top), [3.0])
+    want = (np.array([10, 10, 12, 12]) * 0.75 + np.array([0, 0, 2, 2]) * 0.25)
+    np.testing.assert_allclose(np.asarray(merged)[0], want, rtol=1e-5)
+
+
+def _p2b_model(num_classes=3, fc=64):
+    return build_detector(
+        dict(type="P2BNet",
+             backbone=dict(type="ResNet", depth=18, base_channels=8),
+             neck=dict(type="FPN", in_channels=[8, 16, 32, 64],
+                       out_channels=16, start_level=0, num_outs=4),
+             bbox_head=dict(type="P2BNetHead", num_classes=num_classes,
+                            in_channels=16, fc_channels=fc,
+                            featmap_strides=[4, 8, 16, 32],
+                            cbp_scales=[8, 16, 32],
+                            cbp_ratios=[0.5, 1.0, 2.0])),
+        None, None)
+
+
+def _batch(b=2, g=5, seed=0, size=64):
+    rng = np.random.RandomState(seed)
+    xy = rng.rand(b, g, 2) * (size - 20)
+    wh = 8 + rng.rand(b, g, 2) * 10
+    gt = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    return dict(
+        gt_bboxes=jnp.asarray(gt),
+        gt_labels=jnp.asarray(rng.randint(0, 3, (b, g)), jnp.int32),
+        gt_valid=jnp.asarray(rng.rand(b, g) < 0.8),
+        img_shape=jnp.tile(jnp.asarray([[size, size]], jnp.int32), (b, 1)))
+
+
+def test_p2b_losses_and_refine_contract():
+    model = _p2b_model()
+    batch = _batch()
+    img = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3),
+                      jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, batch,
+                           train=True, mode="train")
+    losses = model.apply(variables, img, batch,
+                         method=model.forward_train,
+                         rngs={"sampler": jax.random.PRNGKey(1)})
+    for k in ("loss_cbp", "loss_pbr", "loss_neg"):
+        assert k in losses and np.isfinite(float(losses[k])), (k, losses)
+    # refine_test: same contract as CPR (run_refine_test consumes it)
+    pts, scores, boxes, not_refine = model.apply(
+        variables, img, batch, (16, 16), method=model.refine_test)
+    assert pts.shape == (2, 5, 2) and boxes.shape == (2, 5, 4)
+    assert scores.shape == (2, 5) and not_refine.shape == (2, 5)
+    ctr = (np.asarray(boxes[..., :2]) + np.asarray(boxes[..., 2:])) / 2
+    np.testing.assert_allclose(np.asarray(pts), ctr, atol=1e-4)
+    # invalid gts are flagged not_refine
+    np.testing.assert_array_equal(np.asarray(not_refine),
+                                  ~np.asarray(batch["gt_valid"]))
+
+
+def test_p2b_padded_gts_do_not_contribute():
+    """Doubling the gt padding must not change any loss value."""
+    model = _p2b_model()
+    img = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3),
+                      jnp.float32)
+    batch = _batch(g=5)
+    variables = model.init(jax.random.PRNGKey(0), img, batch,
+                           train=True, mode="train")
+
+    def run(b):
+        out = model.apply(variables, img, b, method=model.forward_train,
+                          rngs={"sampler": jax.random.PRNGKey(1)})
+        return {k: float(v) for k, v in out.items() if k.startswith("loss")}
+
+    l1 = run(batch)
+    pad = dict(
+        gt_bboxes=jnp.concatenate(
+            [batch["gt_bboxes"], jnp.zeros((2, 5, 4))], 1),
+        gt_labels=jnp.concatenate(
+            [batch["gt_labels"], jnp.zeros((2, 5), jnp.int32)], 1),
+        gt_valid=jnp.concatenate(
+            [batch["gt_valid"], jnp.zeros((2, 5), bool)], 1),
+        img_shape=batch["img_shape"])
+    l2 = run(pad)
+    for k in l1:
+        np.testing.assert_allclose(l1[k], l2[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+
+
+def test_p2b_learns_point_to_box():
+    """Core paper claim: MIL over point-centered bags discovers object
+    EXTENT. The extent signal is class-competition dilution (the softmax
+    cls branch, paper sec. 3): an oversized proposal contains other-class
+    pixels, its object-class probability drops, and the instance softmax
+    shifts onto tight proposals. The scene makes oversize identifiable —
+    a dense grid of alternating-class 8px squares at 12px pitch, so any
+    24px proposal is ~half the other class — and only center points are
+    annotated. After training, pseudo boxes must localize (mean IoU with
+    the true boxes >= 0.45) and the CBP instance selection must
+    concentrate on the tight scale."""
+    model = build_detector(
+        dict(type="P2BNet",
+             backbone=dict(type="ResNet", depth=18, base_channels=16,
+                           norm_eval=False),
+             neck=dict(type="FPN", in_channels=[16, 32, 64, 128],
+                       out_channels=32, start_level=0, num_outs=4),
+             bbox_head=dict(type="P2BNetHead", num_classes=2,
+                            in_channels=32, fc_channels=128,
+                            featmap_strides=[4, 8, 16, 32],
+                            cbp_scales=[6, 12, 24], cbp_ratios=[1.0],
+                            pbr_scale_jitter=[0.7, 1.0, 1.3],
+                            pbr_offset_frac=[-0.15, 0.0, 0.15],
+                            merge_topk=3)),
+        None, None)
+
+    rng = np.random.RandomState(3)
+    n_imgs, size, max_g = 16, 64, 9
+    imgs = np.zeros((n_imgs, size, size, 3), np.float32)
+    true_boxes = np.zeros((n_imgs, max_g, 4), np.float32)
+    labels_all = np.zeros((n_imgs, max_g), np.int32)
+    points = np.zeros((n_imgs, max_g, 4), np.float32)   # 8x8 pseudo boxes
+    valids = np.zeros((n_imgs, max_g), bool)
+    for i in range(n_imgs):
+        imgs[i] = rng.rand(size, size, 3) * 0.1
+        ox, oy = rng.randint(4, 16, 2)
+        g = 0
+        for r in range(3):
+            for c in range(3):
+                x, y, w = ox + c * 12, oy + r * 12, 8
+                cls = (r + c) % 2
+                imgs[i, y:y + w, x:x + w, cls] = 1.0
+                true_boxes[i, g] = (x, y, x + w, y + w)
+                labels_all[i, g] = cls
+                cx = x + w / 2 + rng.uniform(-1.5, 1.5)
+                cy = y + w / 2 + rng.uniform(-1.5, 1.5)
+                points[i, g] = (cx - 4, cy - 4, cx + 4, cy + 4)
+                valids[i, g] = True
+                g += 1
+
+    b = 8
+    tx = optax.adam(1e-3)
+    params, batch_stats = init_model(model, dict(img=jnp.asarray(imgs[:b])))
+    state = dict(params=params, batch_stats=batch_stats,
+                 opt_state=tx.init(params), step=jnp.int32(0))
+    train_step = make_train_step(model, tx)
+    rng_j = jax.random.PRNGKey(0)
+    for step in range(300):
+        sel = np.random.RandomState(step).choice(n_imgs, b, replace=False)
+        batch = dict(img=jnp.asarray(imgs[sel]),
+                     gt_bboxes=jnp.asarray(points[sel]),
+                     gt_labels=jnp.asarray(labels_all[sel]),
+                     gt_valid=jnp.asarray(valids[sel]),
+                     img_shape=jnp.tile(
+                         jnp.asarray([[size, size]], jnp.int32), (b, 1)))
+        rng_j, k = jax.random.split(rng_j)
+        state, metrics = train_step(state, batch, k)
+    assert np.isfinite(float(metrics["loss"]))
+
+    from pointtinybenchmark_tpu.ops.iou import bbox_overlaps_aligned
+    variables = {"params": state["params"]}
+    if state["batch_stats"]:
+        variables["batch_stats"] = state["batch_stats"]
+    ious, sels = [], []
+    for s in range(0, n_imgs, b):
+        bb = dict(gt_bboxes=jnp.asarray(points[s:s + b]),
+                  gt_labels=jnp.asarray(labels_all[s:s + b]),
+                  gt_valid=jnp.asarray(valids[s:s + b]),
+                  img_shape=jnp.tile(
+                      jnp.asarray([[size, size]], jnp.int32), (b, 1)))
+        out = model.apply(variables, jnp.asarray(imgs[s:s + b]), bb,
+                          train=False, mode="refine")
+        boxes = np.asarray(out["pseudo_boxes"])
+        sels.append(np.asarray(out["stages"][0]["sel"]).reshape(-1, 3))
+        ious.append(np.asarray(bbox_overlaps_aligned(
+            jnp.asarray(boxes.reshape(-1, 4)),
+            jnp.asarray(true_boxes[s:s + b].reshape(-1, 4)))))
+    ious = np.concatenate(ious)
+    sels = np.concatenate(sels)
+    # measured: mean IoU 0.56, 64% above 0.5, scale mass [0.71, 0.10, 0.19]
+    assert ious.mean() > 0.45, ious.mean()
+    assert (ious > 0.5).mean() > 0.4, (ious > 0.5).mean()
+    mean_sel = sels.mean(0)
+    assert mean_sel[0] > mean_sel[2], mean_sel  # tight scale wins
