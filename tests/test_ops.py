@@ -510,3 +510,54 @@ def test_take_rows_matches_plain_indexing():
                                   np.asarray(big_f[idx2]))
     np.testing.assert_array_equal(np.asarray(take_rows(big_v, idx2)),
                                   np.asarray(big_v[idx2]))
+
+
+def test_nms_vblocked_exact_vs_pick_loop():
+    """nms_vblocked (the vmapped per-tile decode path above
+    FIXPOINT_MAX_N) produces the EXACT sequential greedy keep-set AND
+    order: per-round top-k picks + intra-round fixpoint + pool
+    suppression == pick-loop, incl. ties, valid masks, max_out overflow
+    inside a round, and execution under vmap."""
+    import numpy as np
+
+    import jax
+
+    from pointtinybenchmark_tpu.ops.nms import nms, nms_vblocked
+
+    rng = np.random.RandomState(7)
+    for n, max_out, block in ((300, 100, 128), (5000, 600, 128),
+                              (4500, 400, 64)):
+        c = rng.rand(n, 2) * 500
+        wh = rng.rand(n, 2) * 50 + 4
+        boxes = np.concatenate([c, c + wh], -1).astype(np.float32)
+        # quantized scores force ties
+        scores = (rng.randint(0, 200, n) / 200.0).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        k1, n1 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                     max_out, jnp.asarray(valid))
+        k2, n2 = nms_vblocked(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.5, max_out, jnp.asarray(valid),
+                              block=block)
+        assert int(n1) == int(n2)
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    # dense cluster: many keeps per round, max_out hit mid-round
+    n = 5000
+    c = rng.rand(n, 2) * 2000
+    wh = rng.rand(n, 2) * 20 + 4
+    boxes = np.concatenate([c, c + wh], -1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    k1, n1 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 150)
+    k2, n2 = nms_vblocked(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                          150)
+    assert int(n1) == int(n2) == 150
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    # under vmap (the protocol per-tile call shape)
+    b = 6
+    bb = np.stack([boxes[i::b][:800] for i in range(b)])
+    ss = np.stack([scores[i::b][:800] for i in range(b)])
+    kv, nv = jax.vmap(lambda bx, sc: nms_vblocked(bx, sc, 0.5, 200))(
+        jnp.asarray(bb), jnp.asarray(ss))
+    for i in range(b):
+        k1, n1 = nms(jnp.asarray(bb[i]), jnp.asarray(ss[i]), 0.5, 200)
+        assert int(nv[i]) == int(n1)
+        np.testing.assert_array_equal(np.asarray(kv[i]), np.asarray(k1))
