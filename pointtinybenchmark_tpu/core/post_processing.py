@@ -69,9 +69,17 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
 
     # static candidate cap (keeps the NMS problem small)
     k = min(pre_nms_limit, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
-    top_boxes = flat_boxes[top_idx]
-    top_labels = flat_labels[top_idx]
+    if k < flat_scores.shape[0]:
+        top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+        top_boxes = flat_boxes[top_idx]
+        top_labels = flat_labels[top_idx]
+    else:
+        # k == N: top_k would be a full sort for nothing — every NMS
+        # route below orders by score itself (argmax loop / sorted
+        # fixpoint / per-round top_k), so feed candidates unsorted.
+        top_scores = flat_scores
+        top_boxes = flat_boxes
+        top_labels = flat_labels
     # NOTE: after the where() above every invalid entry is exactly -1 and
     # every surviving score/product is >= 0, so a threshold test recovers the
     # validity of the top-k rows. A boolean gather (`ok[top_idx]`) is

@@ -222,7 +222,7 @@ def nms_vblocked(boxes: jnp.ndarray, scores: jnp.ndarray,
                  iou_threshold: float, max_out: int,
                  valid_mask: Optional[jnp.ndarray] = None,
                  score_threshold: float = float("-inf"),
-                 block: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 block: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact greedy NMS for large N that stays fast UNDER VMAP.
 
     The pick-loop (`nms`) runs max_out sequential argmax steps — 1000
