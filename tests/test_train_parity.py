@@ -65,6 +65,19 @@ def test_p2p_train_parity_short_and_point_ap():
     assert abs(ap_t - ap_j) < 0.02, (ap_t, ap_j)
 
 
+def test_fcos_train_parity_short():
+    """20 steps of the Adap-flavored FCOS (anchor-free family): the
+    exec'd reference fcos_head.py loss path vs ours, identical init."""
+    res = tp.run_fcos_experiment(steps=20, batch_size=2, n_train=8,
+                                 n_val=4, hw=(128, 160))
+    st = tp.trajectory_stats(res["torch_losses"], res["jax_losses"])
+    assert st["first_step_rel"] < 1e-4, st
+    assert st["mean_rel"] < 0.01, st
+    # measured: trajectories identical to ~1e-7, AP equal to the digit
+    assert abs(res["ap_torch"]["AP50_all"]
+               - res["ap_jax"]["AP50_all"]) < 0.02
+
+
 @pytest.mark.slow
 def test_retina_train_parity_with_ap():
     """Longer horizon + detection AP from the SAME COCOExpandEval (tiny

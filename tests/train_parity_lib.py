@@ -200,14 +200,16 @@ def torch_state_to_jax(det, depth: int = 18):
 
 
 def torch_losses(det, imgs_np, gts, labels, hw):
+    """Generic dense-head loss: head outputs splat into head.loss
+    (retina: (cls, reg); fcos: (cls, reg, centerness))."""
     import torch
     img_metas = [dict(img_shape=tuple(hw) + (3,), pad_shape=tuple(hw) + (3,),
                       scale_factor=np.ones(4, np.float32))
                  for _ in range(len(gts))]
     t_img = torch.from_numpy(imgs_np.transpose(0, 3, 1, 2)).contiguous()
-    cls, reg = det(t_img)
+    outs = det(t_img)
     ld = det.bbox_head.loss(
-        cls, reg, [torch.from_numpy(np.ascontiguousarray(g)) for g in gts],
+        *outs, [torch.from_numpy(np.ascontiguousarray(g)) for g in gts],
         [torch.from_numpy(np.ascontiguousarray(l)) for l in labels],
         img_metas)
     total = sum(sum(v) if isinstance(v, (list, tuple)) else v
@@ -327,6 +329,106 @@ def train_jax(model, init_params, init_stats, data, order, step_iters,
         if log_every and step % log_every == 0:
             print(f"  jax step {step}: loss {losses[-1]:.4f}")
     return np.asarray(losses), state
+
+
+# ---------------------------------------------------------------------
+# FCOS pair (anchor-free; Adap compressed regress ranges)
+# ---------------------------------------------------------------------
+
+ADAP_RANGES = ((-1, 16), (16, 32), (32, 64), (64, 128), (128, 1e8))
+FCOS_LOSS_BBOX = dict(type="IoULoss", loss_weight=1.0)
+FCOS_LOSS_CTR = dict(type="CrossEntropyLoss", use_sigmoid=True,
+                     loss_weight=1.0)
+FCOS_NORM = dict(type="GN", num_groups=4, requires_grad=True)
+
+
+def make_torch_fcos(seed: int = 0, base: int = 8, c: int = 16,
+                    stacked: int = 2, num_classes: int = 1):
+    """Reference torch FCOS stack (exec'd fcos_head.py loss path live)."""
+    import torch
+    import torch.nn as tnn
+
+    import reference_loader as rl
+    from test_torch2jax import _TorchResNet18
+
+    torch.manual_seed(seed)
+    chans = [base, base * 2, base * 4, base * 8]
+
+    class _Det(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = _TorchResNet18(base=base)
+            self.neck = rl.ref_fpn().FPN(
+                in_channels=chans, out_channels=c, num_outs=5,
+                start_level=0, add_extra_convs="on_input")
+            self.bbox_head = rl.ref_fcos_head().FCOSHead(
+                num_classes=num_classes, in_channels=c, feat_channels=c,
+                stacked_convs=stacked, strides=[4, 8, 16, 32, 64],
+                regress_ranges=ADAP_RANGES,
+                norm_cfg=dict(FCOS_NORM), loss_cls=dict(LOSS_CLS),
+                loss_bbox=dict(FCOS_LOSS_BBOX),
+                loss_centerness=dict(FCOS_LOSS_CTR),
+                train_cfg=None, test_cfg=rl.make_cfg(RETINA_TEST))
+
+        def forward(self, img):
+            return self.bbox_head(self.neck(self.backbone(img)))
+
+    det = _Det()
+    g = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for m in det.bbox_head.modules():
+            if isinstance(m, tnn.Conv2d):
+                m.weight.normal_(0.0, 0.01, generator=g)
+                if m.bias is not None:
+                    m.bias.zero_()
+        det.bbox_head.conv_cls.bias.fill_(_focal_bias(0.01))
+    return det
+
+
+def make_jax_fcos(base: int = 8, c: int = 16, stacked: int = 2,
+                  num_classes: int = 1):
+    from pointtinybenchmark_tpu.models import build_detector
+    chans = [base, base * 2, base * 4, base * 8]
+    model_cfg = dict(
+        type="FCOS",
+        backbone=dict(type="ResNet", depth=18, base_channels=base,
+                      norm_eval=True, frozen_stages=-1),
+        neck=dict(type="FPN", in_channels=chans, out_channels=c,
+                  num_outs=5, start_level=0, add_extra_convs="on_input"),
+        bbox_head=dict(type="FCOSHead", num_classes=num_classes,
+                       in_channels=c, feat_channels=c,
+                       stacked_convs=stacked, strides=[4, 8, 16, 32, 64],
+                       regress_ranges=ADAP_RANGES,
+                       norm_cfg=dict(FCOS_NORM), loss_cls=dict(LOSS_CLS),
+                       loss_bbox=dict(FCOS_LOSS_BBOX),
+                       loss_centerness=dict(FCOS_LOSS_CTR)))
+    return build_detector(model_cfg, None, dict(RETINA_TEST))
+
+
+def run_fcos_experiment(steps: int = 300, batch_size: int = 2,
+                        n_train: int = 64, n_val: int = 16,
+                        hw=(256, 320), seed: int = 0, log_every: int = 0):
+    import torch
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
+
+    train = make_tiny_dataset(n_train, hw=hw, seed=seed)
+    val = make_tiny_dataset(n_val, hw=hw, seed=seed + 1000)
+    order = batch_order(n_train, batch_size, steps)
+    step_iters = [int(steps * 2 / 3), int(steps * 5 / 6)]
+
+    det = make_torch_fcos(seed=seed)
+    params, stats = torch_state_to_jax(det)
+    model = make_jax_fcos()
+
+    t_losses = train_torch(det, train, order, step_iters,
+                           log_every=log_every)
+    j_losses, state = train_jax(model, params, stats, train, order,
+                                step_iters, log_every=log_every)
+
+    ap_t = eval_torch_ap(det, val)
+    ap_j = eval_jax_ap(model, state, val)
+    return dict(torch_losses=t_losses, jax_losses=j_losses,
+                ap_torch=ap_t, ap_jax=ap_j, step_iters=step_iters)
 
 
 # ---------------------------------------------------------------------
@@ -590,10 +692,10 @@ def eval_torch_ap(det, val):
         for i in range(len(val["images"])):
             img = torch.from_numpy(
                 val["images"][i:i + 1].transpose(0, 3, 1, 2)).contiguous()
-            cls, reg = det(img)
+            outs = det(img)
             metas = [dict(img_shape=(h, w, 3), pad_shape=(h, w, 3),
                           scale_factor=np.ones(4, np.float32))]
-            res = det.bbox_head.get_bboxes(cls, reg, metas, rescale=False)
+            res = det.bbox_head.get_bboxes(*outs, metas, rescale=False)
             boxes, labels = res[0]
             for b, l in zip(boxes.numpy(), labels.numpy()):
                 rows.append(dict(image_id=i, category_id=int(l) + 1,
