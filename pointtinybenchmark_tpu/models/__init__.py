@@ -37,7 +37,7 @@ from .dense_heads.guided_anchor_head import (FeatureAdaption, GARetinaHead,
                                              GARPNHead, GuidedAnchorHead)
 from .dense_heads.ld_head import (KnowledgeDistillationSingleStageDetector,
                                   LDHead)
-from .dense_heads.p2b_head import P2BNetHead
+from .dense_heads.p2b_head import P2BNetHead, SSDDetHead
 from .dense_heads.p2p_head import P2PHead
 from .dense_heads.free_anchor_retina_head import FreeAnchorRetinaHead
 from .dense_heads.pisa_retina_head import PISARetinaHead
@@ -52,7 +52,7 @@ from .necks.pafpn import PAFPN
 __all__ = [
     "ResNet", "ResNeXt", "MobileNetV2", "Darknet",
     "YOLOV3", "YOLOV3Head", "YOLOV3Neck", "CenterNet", "CenterNetHead",
-    "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "P2BNetHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
+    "CTResNetNeck", "GaussianFocalLoss", "FPN", "PAFPN", "P2PHead", "P2BNetHead", "SSDDetHead", "CPRHead", "CascadeCPRHead", "AnchorHead", "RetinaHead",
     "FPN_CARAFE", "HRNet", "HRFPN", "HourglassNet", "Res2Net", "ResNeSt", "RegNet", "SSDVGG", "TridentResNet", "DetectoRS_ResNet", "SAConv2d", "RFP", "ASPP", "BFP", "ChannelMapper", "NASFPN", "MergeCell", "FCOSHead", "FoveaHead", "FoveaBox", "FSAFHead", "FSAF", "VFNetHead", "VFNet", "YOLOFHead", "YOLOF", "PAAHead", "AutoAssignHead", "AutoAssign", "CornerHead", "CornerNet", "corner_pool", "DeformableDETRHead", "DeformableDETR", "MSDeformAttention", "DilatedEncoder", "ATSSHead", "GFLHead", "GuidedAnchorHead", "GARetinaHead", "GARPNHead",
     "FeatureAdaption", "FreeAnchorRetinaHead", "SABLRetinaHead", "LDHead", "KnowledgeDistillationSingleStageDetector", "PISARetinaHead", "DETRHead", "DETR", "SingleStageDetector", "BasicLocator",
     "build_model", "build_backbone", "build_neck", "build_head",

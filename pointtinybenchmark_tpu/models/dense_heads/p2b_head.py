@@ -46,7 +46,8 @@ from flax import linen as nn
 from ...utils.registry import HEADS, LOSSES
 from ..roi_heads.roi_extractor import single_roi_extract
 
-__all__ = ["P2BNetHead", "cbp_proposals", "pbr_proposals", "merge_boxes"]
+__all__ = ["P2BNetHead", "SSDDetHead", "cbp_proposals", "pbr_proposals",
+           "merge_boxes"]
 
 
 def cbp_proposals(points: jnp.ndarray, scales: Sequence[float],
@@ -126,6 +127,12 @@ class P2BNetHead(nn.Module):
     neg_scale_jitter: Sequence[float] = (1.0, 3.0)
     neg_offset: Sequence[float] = (-1.2, -0.6, 0.0, 0.6, 1.2)
     with_bg: bool = True   # background column in the softmax cls branch
+    # stage-0 bag source: 'point' (P2BNet CBP — anchor grid on the
+    # annotated point) or 'box' (SSD-Det — jitter grid around the NOISY
+    # annotated box, spatial self-distillation refinement)
+    bag_source: str = "point"
+    box_bag_scale_jitter: Sequence[float] = (0.5, 0.7, 1.0, 1.4, 2.0)
+    box_bag_offset_frac: Sequence[float] = (-0.3, 0.0, 0.3)
     loss_mil: Optional[dict] = None
     neg_loss_weight: float = 0.75
     train_cfg: Optional[dict] = None
@@ -203,11 +210,18 @@ class P2BNetHead(nn.Module):
         loss() / the P2BNet detector shell.
         """
         del train, mode
-        points = batch["gt_points"][:, :, 0, :]              # (B, G, 2)
         labels = batch["gt_labels"]
         outputs: Dict[str, Any] = {"stages": []}
 
-        boxes = cbp_proposals(points, self.cbp_scales, self.cbp_ratios)
+        if self.bag_source == "box":
+            # SSD-Det: the annotation is a NOISY BOX — the stage-0 bag is
+            # a scale x offset jitter grid around it
+            boxes = pbr_proposals(batch["gt_bboxes"],
+                                  self.box_bag_scale_jitter,
+                                  self.box_bag_offset_frac)
+        else:
+            points = batch["gt_points"][:, :, 0, :]          # (B, G, 2)
+            boxes = cbp_proposals(points, self.cbp_scales, self.cbp_ratios)
         last_mods = None
         for stage in range(1 + self.pbr_stages):
             last_mods = self._make_stage(stage)
@@ -284,3 +298,26 @@ class P2BNetHead(nn.Module):
         losses["loss_neg"] = (self.neg_loss_weight * neg_loss.sum()
                               / num_pos)
         return losses
+
+
+@HEADS.register_module()
+class SSDDetHead(P2BNetHead):
+    """SSD-Det: spatial self-distillation refinement of NOISY BOX
+    annotations (paper-spec, arXiv 2307.12101 — like P2BNet, the SSD-Det
+    branch is not in this checkout).
+
+    Same MIL machinery as P2BNet with the stage-0 bag built around the
+    noisy annotated box instead of a point: the SPSD module's candidate
+    bag (scale x offset jitter of the noisy box) is scored by the
+    cls x instance-softmax head, the refined box is the top-k
+    score-weighted merge, and `pbr_stages` adds further cascaded
+    refinement rounds. The refined boxes flow through the same
+    refine_test/result2ann workflow to re-train a clean detector.
+
+    The negative grid includes an UNDER-scale (0.4) by default: inset
+    boxes (IoU < neg_iou_thr with the estimate) are taught as background,
+    giving the symmetric "too small = bg" signal that box-jitter bags
+    need (a point bag's smallest scale is bounded away from zero, a
+    box-jitter bag's is not)."""
+    bag_source: str = "box"
+    neg_scale_jitter: Sequence[float] = (0.4, 1.0, 2.5)

@@ -153,6 +153,14 @@ class P2BNet(BasicLocator):
 
 
 @DETECTORS.register_module()
+class SSDDet(P2BNet):
+    """SSD-Det shell (noisy-box self-distillation, paper-spec): identical
+    refinement workflow to P2BNet — refine_test emits the spatially
+    self-distilled boxes for result2ann -> clean-detector retraining."""
+    pass
+
+
+@DETECTORS.register_module()
 class RepPointsDetector(SingleStageDetector):
     """RepPoints single-stage shell (mmdet models/detectors/reppoints_detector.py)."""
     pass
