@@ -25,6 +25,7 @@ A100 at 640x512 fp16; vs_baseline = measured / 40 for the SAME protocol
 model (not the lighter P2P flagship).
 """
 import json
+import os.path as osp
 import time
 
 MMDET_A100_IMG_PER_S = 40.0
@@ -454,8 +455,26 @@ def main():
     _try(extra, "p2p_flagship_640x512", run_p2p)
 
     def run_cpr():
-        extra["cpr_refine_640x640"] = {
-            "img_per_s": round(bench_cpr_refine(), 2)}
+        # The CPR refine graph is the slowest compile of the suite
+        # (~30 min cold through the axon tunnel). Run it in a
+        # timeout-bounded child so a compile overrun can never take the
+        # whole record down with it — a blocked XLA compile can't be
+        # interrupted in-process (signals only fire after it returns).
+        import subprocess
+        import sys
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "from bench import bench_cpr_refine;"
+             "print('CPR_IPS', round(bench_cpr_refine(), 2))"],
+            capture_output=True, text=True, timeout=2700,
+            cwd=osp.dirname(osp.abspath(__file__)))
+        for line in proc.stdout.splitlines():
+            if line.startswith("CPR_IPS "):
+                extra["cpr_refine_640x640"] = {
+                    "img_per_s": float(line.split()[1])}
+                return
+        raise RuntimeError(
+            f"cpr child rc={proc.returncode}: {proc.stderr[-300:]}")
 
     _try(extra, "cpr_refine_640x640", run_cpr)
 
